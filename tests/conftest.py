@@ -1,0 +1,25 @@
+"""Test harness config: force a virtual 8-device CPU mesh before jax import.
+
+Per the build spec, multi-chip sharding is validated on a virtual CPU mesh
+(`--xla_force_host_platform_device_count=8`); x64 is enabled so golden
+float64 parity comparisons against the numpy reference solver are exact.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: repeat test runs skip XLA recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
