@@ -1,0 +1,152 @@
+"""One typed config holding every behavioural constant of the system.
+
+The reference scatters these across CLI defaults
+(``/root/reference/src/cg_mrslam.cpp:69-117``), hard-coded matcher internals
+(``graph_slam.cpp:58-76``, ``scan_matcher.cpp:34-36,148-151,230-246,384-391,
+499``), candidate-selection thresholds (``vertices_finder.h:97-99``), gating
+constants (``graph_slam.cpp:233,329-351,399``; ``mr_graph_slam.cpp:175,261``)
+and comm constants (``graph_comm.h:48-49``, ``graph_comm.cpp:152``,
+``msg_factory.h:115``). They define behaviour parity, so they all live here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Correlative scan matcher parameters (one per grid instance)."""
+
+    extent: float = 30.0          # grid side length [m] (closeMatcher 30×30,
+    #                               LCMatcher 70×70 — graph_slam.cpp:58-62)
+    resolution: float = 0.025     # cell size [m] (CLI -resolution)
+    kernel_radius: float = 0.2    # distance kernel radius [m] (CLI)
+    kernel_resolution: float = 0.5  # ScanMatcher::initializeKernel 2nd param
+    #                               (graph_slam.cpp:60-62 passes 0.1, 0.5)
+    kscale: float = 128.0         # uint8 distance quantisation scale
+    #                               (scan_matcher.cpp:34-36)
+    max_score: float = 0.15       # acceptance threshold (CLI -maxScore)
+
+    @property
+    def cells(self) -> int:
+        return int(round(self.extent / self.resolution))
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchWindows:
+    """Search-region geometry of the three matching modes
+    (scan_matcher.cpp:148-151, :222-246, :384-391)."""
+
+    # (a) close matching — odometry refinement
+    close_dx: float = 0.3
+    close_dy: float = 0.3
+    close_dth: float = 0.2
+    close_th_res: float = 0.00625
+    # (b) loop-closure matching — per candidate vertex (+π-rotated twins)
+    lc_dx: float = 0.5
+    lc_dy: float = 1.5
+    lc_dth: float = 0.8
+    lc_th_res: float = 0.025
+    lc_merge_dx: float = 0.5     # result dedup lattice (scan_matcher.cpp:246)
+    lc_merge_dy: float = 0.5
+    lc_merge_dth: float = 0.2
+    # (c) global matching — inter-robot, unknown relative pose
+    global_dx: float = 10.0
+    global_dy: float = 5.0
+    global_th_res: float = 0.025  # finest θ step of hierarchical search
+    global_levels: int = 4        # coarse-to-fine steps ×8,×4,×2,×1
+    # verifyMatching threshold: max unexplained reference points
+    verify_threshold: int = 40    # scan_matcher.cpp:499
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Single-robot SLAM engine parameters (GraphSLAM semantics)."""
+
+    # keyframe gating (cg_mrslam.cpp:78-79, :216-217)
+    linear_update: float = 0.25
+    angular_update: float = math.pi / 4
+    # vertex id namespacing (cg_mrslam.cpp:159-160, graph_slam.cpp:155)
+    base_id: int = 10000
+    # odometry vs scan-match edge information (graph_slam.cpp:72-76)
+    odom_info: tuple = (100.0, 100.0, 1000.0)       # diag
+    sm_info: tuple = (1000.0, 1000.0, 10000.0)      # diag
+    # close-matching looks at the previous ≤5 vertices (graph_slam.cpp:233)
+    close_match_window: int = 5
+    # Mahalanobis gate for closure candidates (graph_slam.cpp:329-351)
+    chi2_gate: float = 5.99
+    perception_range_deflate: float = 1.0
+    # candidate selection (vertices_finder.h:97-99)
+    max_graph_dist_sm: float = 2.0
+    min_graph_dist_lc: float = 5.0
+    max_euc_dist_lc: float = 50.0
+    # windowed closure vote (CLI defaults)
+    window_loop_closure: int = 10
+    min_inliers: int = 7
+    inlier_threshold: float = 2.0
+    # optimization budget per keyframe (cg_mrslam.cpp:225, graph_slam.cpp:392)
+    gn_iterations: int = 5
+    pre_optimize_iterations: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MRConfig:
+    """Multi-robot protocol parameters."""
+
+    n_robots: int = 2
+    # inter-robot matcher + vote (CLI -maxScoreMR/-minInliersMR/-windowMR…)
+    max_score_mr: float = 0.15
+    min_inliers_mr: int = 5
+    window_mr_loop_closure: int = 10
+    # inter-robot closure edge information (mr_graph_slam.cpp:228-242)
+    closure_info: tuple = (100.0, 100.0, 1000.0)
+    # combo message carries last ≤5 poses (mr_graph_slam.cpp:564-605)
+    combo_poses: int = 5
+    # parked foreign vertices retried each keyframe with gap 20
+    # (mr_graph_slam.cpp:254-329)
+    inter_robot_gap: int = 20
+    # global matching window: ±10 vertices around reference (21 total,
+    # mr_graph_slam.cpp:172-213)
+    global_match_window: int = 10
+    # connectivity model (graph_comm.h:48-49, graph_comm.cpp:70-101)
+    sim_comm_range: float = 5.0
+    ping_timeout: float = 10.0
+    send_period: float = 0.15      # sender thread cadence (graph_comm.cpp:152)
+    max_datagram: int = 100_000    # msg_factory.h:115
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Occupancy grid parameters (cg_mrslam.cpp:109-117)."""
+
+    resolution: float = 0.05
+    occupied_threshold: float = 0.65
+    free_threshold: float = 0.196
+    gain: float = 3.0
+    square_size: int = 0          # endpoint splat half-width (cells)
+    angle: float = math.pi / 2
+    usable_range: float = -1.0    # <0 → use sensor max range
+    infinity_filling_range: float = -1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    slam: SlamConfig = dataclasses.field(default_factory=SlamConfig)
+    mr: MRConfig = dataclasses.field(default_factory=MRConfig)
+    windows: SearchWindows = dataclasses.field(default_factory=SearchWindows)
+    close_matcher: MatcherConfig = dataclasses.field(
+        default_factory=lambda: MatcherConfig(extent=30.0, resolution=0.025)
+    )
+    lc_matcher: MatcherConfig = dataclasses.field(
+        default_factory=lambda: MatcherConfig(extent=70.0, resolution=0.1)
+    )
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    # static array capacities (TPU: shapes must be fixed)
+    max_vertices: int = 1024
+    max_edges: int = 4096
+    max_beams: int = 1024
+
+
+DEFAULT = Config()

@@ -1,0 +1,226 @@
+"""``.g2o`` text format reader/writer (VERTEX_SE2 / EDGE_SE2 / FIX /
+ROBOTLASER1), host-side numpy.
+
+Replaces the reference's g2o ``save``/``load`` usage
+(``/root/reference/src/slam/graph_slam.cpp:620-628`` saves after every
+keyframe; ROBOTLASER1 userData lines follow each vertex). Needed for
+checkpoint/resume and for parity testing on externally produced graphs.
+
+g2o ids may be sparse/namespaced (``id = runningId + idRobot*baseId``,
+``graph_slam.cpp:155``); they are kept in a side ``ids`` array while graph
+slots stay dense.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from cg_mrslam_tpu.core import graph as G
+from cg_mrslam_tpu.core import scan as S
+
+
+@dataclasses.dataclass
+class LoadedGraph:
+    graph: G.PoseGraph
+    ids: np.ndarray                # [N] int64 original g2o vertex ids (-1 unused)
+    scans: Optional[S.ScanSet]     # aligned with graph slots, or None
+    laser_meta: Dict               # raw ROBOTLASER1 trailing fields per slot
+
+
+def _parse_robotlaser(tok: List[str]):
+    """Parse a ROBOTLASER1 payload (g2o robot_laser.cpp field order)."""
+    k = 0
+    def take(n):
+        nonlocal k
+        out = tok[k : k + n]
+        k += n
+        return out
+
+    (ltype, first_beam, fov, ang_step, max_range, accuracy, remission) = take(7)
+    nbeams = int(take(1)[0])
+    ranges = np.array([float(x) for x in take(nbeams)], np.float32)
+    nrem = int(take(1)[0])
+    take(nrem)
+    laser_pose = np.array([float(x) for x in take(3)])
+    odom_pose = np.array([float(x) for x in take(3)])
+    trailing = tok[k:]
+    return dict(
+        type=int(float(ltype)),
+        first_beam_angle=float(first_beam),
+        fov=float(fov),
+        angular_step=float(ang_step),
+        max_range=float(max_range),
+        accuracy=float(accuracy),
+        remission_mode=int(float(remission)),
+        ranges=ranges,
+        laser_pose=laser_pose,
+        odom_pose=odom_pose,
+        trailing=trailing,
+    )
+
+
+def load(path: str, max_vertices: int | None = None,
+         max_edges: int | None = None, beams: int | None = None,
+         dtype=jnp.float32) -> LoadedGraph:
+    vertices: List[Tuple[int, np.ndarray]] = []
+    fixed_ids = set()
+    edges = []
+    lasers: Dict[int, dict] = {}
+    last_vid = None
+
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            tag = tok[0]
+            if tag == "VERTEX_SE2":
+                vid = int(tok[1])
+                vertices.append((vid, np.array([float(x) for x in tok[2:5]])))
+                last_vid = vid
+            elif tag == "FIX":
+                fixed_ids.update(int(t) for t in tok[1:])
+            elif tag == "EDGE_SE2":
+                i, j = int(tok[1]), int(tok[2])
+                z = np.array([float(x) for x in tok[3:6]])
+                info6 = np.array([float(x) for x in tok[6:12]])
+                edges.append((i, j, z, info6))
+            elif tag == "ROBOTLASER1" and last_vid is not None:
+                lasers[last_vid] = _parse_robotlaser(tok[1:])
+
+    n, e = len(vertices), len(edges)
+    cap_v = max_vertices or n
+    cap_e = max_edges or max(e, 1)
+    if n > cap_v or e > cap_e:
+        raise ValueError(f"graph ({n} v, {e} e) exceeds capacity ({cap_v}, {cap_e})")
+
+    id2slot = {vid: k for k, (vid, _) in enumerate(vertices)}
+    ids = np.full((cap_v,), -1, np.int64)
+    poses = np.zeros((cap_v, 3), np.float64)
+    vmask = np.zeros((cap_v,), bool)
+    fix = np.zeros((cap_v,), bool)
+    for k, (vid, p) in enumerate(vertices):
+        ids[k] = vid
+        poses[k] = p
+        vmask[k] = True
+        fix[k] = vid in fixed_ids
+    if n and not fix.any():
+        fix[0] = True  # g2o requires a gauge; reference fixes the first pose
+
+    e_ij = np.zeros((cap_e, 2), np.int32)
+    e_z = np.zeros((cap_e, 3), np.float64)
+    e_info = np.zeros((cap_e, 6), np.float64)
+    emask = np.zeros((cap_e,), bool)
+    for k, (i, j, z, info6) in enumerate(edges):
+        e_ij[k] = (id2slot[i], id2slot[j])
+        e_z[k] = z
+        e_info[k] = info6
+        emask[k] = True
+
+    g = G.PoseGraph(
+        poses=jnp.asarray(poses, dtype),
+        vmask=jnp.asarray(vmask),
+        fixed=jnp.asarray(fix),
+        e_ij=jnp.asarray(e_ij),
+        e_z=jnp.asarray(e_z, dtype),
+        e_info=jnp.asarray(e_info, dtype),
+        emask=jnp.asarray(emask),
+        e_level=jnp.zeros((cap_e,), jnp.int32),
+        e_owner=jnp.zeros((cap_e,), jnp.int32),
+        n_vertices=jnp.asarray(n, jnp.int32),
+        n_edges=jnp.asarray(e, jnp.int32),
+    )
+
+    scans = None
+    laser_meta: Dict = {}
+    if lasers:
+        any_l = next(iter(lasers.values()))
+        b = beams or max(len(l["ranges"]) for l in lasers.values())
+        scans = S.empty(
+            cap_v, b,
+            first_beam_angle=any_l["first_beam_angle"],
+            angular_step=any_l["angular_step"],
+            max_range=any_l["max_range"],
+            fov=any_l["fov"],
+        )
+        ranges = np.asarray(scans.ranges).copy()
+        smask = np.zeros((cap_v,), bool)
+        for vid, l in lasers.items():
+            slot = id2slot[vid]
+            r = l["ranges"][:b]
+            ranges[slot, : len(r)] = r
+            smask[slot] = True
+            laser_meta[slot] = l
+        # base→laser offset from the first scan: offset = odom⁻¹ ∘ laserPose
+        lp, op = any_l["laser_pose"], any_l["odom_pose"]
+        from cg_mrslam_tpu.utils import se2
+        off = se2.relative(jnp.asarray(op, jnp.float32), jnp.asarray(lp, jnp.float32))
+        scans = dataclasses.replace(
+            scans, ranges=jnp.asarray(ranges), smask=jnp.asarray(smask),
+            laser_offset=off,
+        )
+
+    return LoadedGraph(graph=g, ids=ids, scans=scans, laser_meta=laser_meta)
+
+
+def save(path: str, g: G.PoseGraph, ids: np.ndarray | None = None,
+         scans: S.ScanSet | None = None) -> None:
+    """Write a g2o-compatible text file (reference ``saveGraph`` analogue)."""
+    poses = np.asarray(g.poses, np.float64)
+    vmask = np.asarray(g.vmask)
+    fix = np.asarray(g.fixed)
+    e_ij = np.asarray(g.e_ij)
+    e_z = np.asarray(g.e_z, np.float64)
+    e_info = np.asarray(g.e_info, np.float64)
+    emask = np.asarray(g.emask)
+    n = poses.shape[0]
+    if ids is None:
+        ids = np.arange(n, dtype=np.int64)
+
+    if scans is not None:
+        ranges = np.asarray(scans.ranges, np.float64)
+        smask = np.asarray(scans.smask)
+        fba = float(scans.first_beam_angle)
+        step = float(scans.angular_step)
+        mr = float(scans.max_range)
+        fov = step * ranges.shape[1]
+        off = np.asarray(scans.laser_offset, np.float64)
+
+    with open(path, "w") as f:
+        for k in range(n):
+            if not vmask[k]:
+                continue
+            f.write(
+                f"VERTEX_SE2 {ids[k]} {poses[k,0]:.6f} {poses[k,1]:.6f} {poses[k,2]:.6f}\n"
+            )
+            if scans is not None and smask[k]:
+                from cg_mrslam_tpu.utils import se2
+                import jax.numpy as _j
+                lpose = np.asarray(
+                    se2.compose(_j.asarray(poses[k]), _j.asarray(off)), np.float64
+                )
+                rs = " ".join(f"{r:.4f}" for r in ranges[k])
+                f.write(
+                    f"ROBOTLASER1 0 {fba:.6f} {fov:.6f} {step:.6f} {mr:.2f} 0.01 0 "
+                    f"{ranges.shape[1]} {rs} 0 "
+                    f"{lpose[0]:.6f} {lpose[1]:.6f} {lpose[2]:.6f} "
+                    f"{poses[k,0]:.6f} {poses[k,1]:.6f} {poses[k,2]:.6f} "
+                    f"0 0 0 0 0 0 hostname 0\n"
+                )
+            if fix[k]:
+                f.write(f"FIX {ids[k]}\n")
+        for k in range(e_ij.shape[0]):
+            if not emask[k]:
+                continue
+            i, j = e_ij[k]
+            z = e_z[k]
+            w = e_info[k]
+            f.write(
+                f"EDGE_SE2 {ids[i]} {ids[j]} "
+                f"{z[0]:.6f} {z[1]:.6f} {z[2]:.6f} "
+                f"{w[0]:.6f} {w[1]:.6f} {w[2]:.6f} {w[3]:.6f} {w[4]:.6f} {w[5]:.6f}\n"
+            )

@@ -9,6 +9,11 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon TPU plugin's sitecustomize registers itself at interpreter start
+# when PALLAS_AXON_POOL_IPS is set and then overrides JAX_PLATFORMS — tests
+# must run on the virtual CPU mesh, so the config override below (which wins
+# over both) is load-bearing. Clearing the env var also covers subprocesses.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +22,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: repeat test runs skip XLA recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
