@@ -22,12 +22,14 @@ class MatcherConfig:
     extent: float = 30.0          # grid side length [m] (closeMatcher 30×30,
     #                               LCMatcher 70×70 — graph_slam.cpp:58-62)
     resolution: float = 0.025     # cell size [m] (CLI -resolution)
-    kernel_radius: float = 0.2    # distance kernel radius [m] (CLI)
-    kernel_resolution: float = 0.5  # ScanMatcher::initializeKernel 2nd param
-    #                               (graph_slam.cpp:60-62 passes 0.1, 0.5)
-    kscale: float = 128.0         # uint8 distance quantisation scale
-    #                               (scan_matcher.cpp:34-36)
-    max_score: float = 0.15       # acceptance threshold (CLI -maxScore)
+    kernel_radius: float = 0.2    # distance cap [m]: closeMatcher uses the
+    #                               CLI kernelRadius (0.2), LCMatcher is
+    #                               hard-coded 0.5 (graph_slam.cpp:59-61).
+    #                               Grid values are meters capped here (the
+    #                               reference's kscale=128 byte quantisation
+    #                               is not reproduced).
+    max_score: float = 0.15       # acceptance threshold: mean distance [m]
+    #                               (CLI -maxScore, chargrid.cpp:275-280)
 
     @property
     def cells(self) -> int:
@@ -140,7 +142,9 @@ class Config:
         default_factory=lambda: MatcherConfig(extent=30.0, resolution=0.025)
     )
     lc_matcher: MatcherConfig = dataclasses.field(
-        default_factory=lambda: MatcherConfig(extent=70.0, resolution=0.1)
+        default_factory=lambda: MatcherConfig(
+            extent=70.0, resolution=0.1, kernel_radius=0.5
+        )
     )
     map: MapConfig = dataclasses.field(default_factory=MapConfig)
     # static array capacities (TPU: shapes must be fixed)

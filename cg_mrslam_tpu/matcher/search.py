@@ -1,0 +1,188 @@
+"""Correlative search over (x, y, θ) candidate transforms.
+
+TPU-native replacement for the reference's exhaustive matchers
+(``/root/reference/src/matcher/chargrid.cpp``: ``greedySearch`` at
+``:208-308`` scores every pose in a region with OpenMP threads;
+``hierarchicalSearch`` at ``:310-413`` runs it coarse-to-fine). Here a
+whole score *volume* ``[T, Dy, Dx]`` is computed as a θ-scan of batched
+gathers — one fused device program per search, no host loops:
+
+* rotation is applied once per θ (as in the reference, ``:236-258``);
+* integer translations reuse the same rotated cells (pure index offsets);
+* consecutive duplicate cells are dropped from the normalization exactly
+  like the reference's dedup (``chargrid.cpp:242-258``);
+* score = mean grid distance IN METERS, lower is better; points that land
+  outside the grid are skipped from the sum but still normalize the mean,
+  matching the reference (``chargrid.cpp:270-276``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cg_mrslam_tpu.matcher.grid import world_to_cell
+
+
+class SearchResult(NamedTuple):
+    poses: jax.Array   # [K, 3] candidate transforms, best first
+    scores: jax.Array  # [K] mean-distance scores (lower = better)
+
+
+@partial(jax.jit, static_argnames=("resolution",))
+def score_volume(grid: jax.Array, center: jax.Array, resolution: float,
+                 points: jax.Array, valid: jax.Array, base: jax.Array,
+                 thetas: jax.Array, ty_cells: jax.Array,
+                 tx_cells: jax.Array) -> jax.Array:
+    """Scores ``[T, Dy, Dx]`` for poses (base ⊕ (tx·res, ty·res, θ)).
+
+    ``points [P,2]`` are in the moving scan's frame; candidate pose
+    ``(base_x + tx·res, base_y + ty·res, base_θ + θ)`` maps them to world.
+    """
+    cells = grid.shape[0]
+
+    def per_theta(th):
+        ang = base[2] + th
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        wx = c * points[:, 0] - s * points[:, 1] + base[0]
+        wy = s * points[:, 0] + c * points[:, 1] + base[1]
+        cell = world_to_cell(jnp.stack([wx, wy], -1), center, cells,
+                             resolution)                        # [P,2] (ix,iy)
+        # consecutive-duplicate-cell dedup (reference chargrid.cpp:242-258)
+        same = jnp.all(cell == jnp.roll(cell, 1, axis=0), axis=-1)
+        same = same.at[0].set(False)
+        keep = valid & ~same
+
+        iy = cell[:, 1, None, None] + ty_cells[None, :, None]   # [P,Dy,1]
+        ix = cell[:, 0, None, None] + tx_cells[None, None, :]   # [P,1,Dx]
+        iy, ix = jnp.broadcast_arrays(iy, ix)                    # [P,Dy,Dx]
+        inb = (iy >= 0) & (iy < cells) & (ix >= 0) & (ix < cells)
+        v = grid[jnp.clip(iy, 0, cells - 1), jnp.clip(ix, 0, cells - 1)]
+        v = jnp.where(inb, v, 0.0)  # out-of-grid skipped from the sum
+        w = keep.astype(v.dtype)[:, None, None]
+        count = jnp.maximum(jnp.sum(keep), 1)
+        return jnp.sum(v * w, axis=0) / count                    # [Dy,Dx]
+
+    return jax.lax.map(per_theta, thetas)                        # [T,Dy,Dx]
+
+
+def volume_topk(scores: jax.Array, base: jax.Array, thetas: jax.Array,
+                ty_cells: jax.Array, tx_cells: jax.Array,
+                resolution: float, k: int) -> SearchResult:
+    """Best-k poses from a score volume (flattened lax.top_k)."""
+    t, dy, dx = scores.shape
+    flat = scores.reshape(-1)
+    neg, idx = jax.lax.top_k(-flat, k)
+    it = idx // (dy * dx)
+    iy = (idx // dx) % dy
+    ix = idx % dx
+    poses = jnp.stack(
+        [
+            base[0] + tx_cells[ix] * resolution,
+            base[1] + ty_cells[iy] * resolution,
+            base[2] + thetas[it],
+        ],
+        axis=-1,
+    )
+    return SearchResult(poses=poses, scores=-neg)
+
+
+def make_lattice(span: float, step: float) -> jax.Array:
+    """Symmetric lattice ``[-span..span]`` with ``step`` (static length)."""
+    n = int(round(span / step))
+    return jnp.arange(-n, n + 1, dtype=jnp.float32) * step
+
+
+@partial(jax.jit, static_argnames=("resolution", "th_res", "th_span",
+                                   "x_span", "y_span", "topk"))
+def grid_search(grid: jax.Array, center: jax.Array, resolution: float,
+                points: jax.Array, valid: jax.Array, base: jax.Array, *,
+                th_span: float, th_res: float, x_span: float, y_span: float,
+                topk: int = 1) -> SearchResult:
+    """One-shot region search (reference ``greedySearch`` semantics):
+    full (θ × ty × tx) lattice at grid resolution around ``base``."""
+    thetas = make_lattice(th_span, th_res)
+    ty = jnp.arange(-int(round(y_span / resolution)),
+                    int(round(y_span / resolution)) + 1, dtype=jnp.int32)
+    tx = jnp.arange(-int(round(x_span / resolution)),
+                    int(round(x_span / resolution)) + 1, dtype=jnp.int32)
+    scores = score_volume(grid, center, resolution, points, valid, base,
+                          thetas, ty, tx)
+    return volume_topk(scores, base, thetas, ty, tx, resolution, topk)
+
+
+def hierarchical_search(grid: jax.Array, center: jax.Array,
+                        resolution: float, points: jax.Array,
+                        valid: jax.Array, base: jax.Array, *,
+                        th_span: float, th_res: float, x_span: float,
+                        y_span: float, levels: int = 4,
+                        branch: int = 16) -> SearchResult:
+    """Coarse-to-fine search (reference ``hierarchicalSearch``,
+    ``chargrid.cpp:310-413``: steps ×2^(levels-1)…×1).
+
+    Level 0 scans the full window at the coarsest step keeping ``branch``
+    candidates (the reference keeps a pruned multi-result map per level,
+    ``chargrid.cpp:292-307`` — a wide beam is what survives coarse-step
+    aliasing in self-similar corridors); each finer level rescans a
+    ±previous-step window around every survivor. All shapes static;
+    survivors refine via ``vmap``.
+    """
+    step0 = 2 ** (levels - 1)
+
+    def level_search(b, th_sp, th_st, x_sp, y_sp, cell_step, k):
+        thetas = b[2] + make_lattice(th_sp, th_st)
+        ny = max(1, int(round(y_sp / (resolution * cell_step))))
+        nx = max(1, int(round(x_sp / (resolution * cell_step))))
+        ty = jnp.arange(-ny, ny + 1, dtype=jnp.int32) * cell_step
+        tx = jnp.arange(-nx, nx + 1, dtype=jnp.int32) * cell_step
+        scores = score_volume(grid, center, resolution, points, valid,
+                              jnp.stack([b[0], b[1], jnp.float32(0.0)]),
+                              thetas, ty, tx)
+        return volume_topk(scores, jnp.stack([b[0], b[1], 0.0]), thetas,
+                           ty, tx, resolution, k)
+
+    # level 0: full window, coarse step, keep `branch`
+    res0 = level_search(base, th_span, th_res * step0, x_span, y_span,
+                        step0, branch)
+    poses, scores = res0.poses, res0.scores
+
+    step = step0
+    for _ in range(1, levels):
+        prev = step
+        step //= 2
+        fn = lambda b: level_search(  # noqa: E731 — closure over step
+            b, th_res * prev, th_res * step, resolution * prev,
+            resolution * prev, step, 1
+        )
+        refined = jax.vmap(fn)(poses)
+        poses = refined.poses[:, 0]
+        scores = refined.scores[:, 0]
+
+    order = jnp.argsort(scores)
+    return SearchResult(poses=poses[order], scores=scores[order])
+
+
+def count_unmatched(grid: jax.Array, center: jax.Array, resolution: float,
+                    points: jax.Array, valid: jax.Array,
+                    box_center: jax.Array, *, dist_threshold: float = 0.3,
+                    box_half: float = 0.3) -> jax.Array:
+    """Points NOT explained by the grid, near ``box_center`` — the
+    reference's ``verifyMatching`` visibility gate
+    (``scan_matcher.cpp:430-505``): a point is unmatched when its grid
+    distance exceeds ``dist_threshold`` (0.3 m, ``:466``); only unmatched
+    points inside a ±``box_half`` box around the candidate's position
+    are counted (``:493-497``, threshold 40 at ``:499``). ``points`` are
+    already in the grid's world frame."""
+    cells = grid.shape[0]
+    cell = world_to_cell(points, center, cells, resolution)
+    inb = jnp.all((cell >= 0) & (cell < cells), axis=-1)
+    v = grid[jnp.clip(cell[:, 1], 0, cells - 1),
+             jnp.clip(cell[:, 0], 0, cells - 1)]
+    unmatched = valid & inb & (v > dist_threshold)
+    in_box = (jnp.abs(points[:, 0] - box_center[0]) <= box_half) & (
+        jnp.abs(points[:, 1] - box_center[1]) <= box_half
+    )
+    return jnp.sum(unmatched & in_box)
