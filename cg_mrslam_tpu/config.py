@@ -46,6 +46,11 @@ class SearchWindows:
     close_dy: float = 0.3
     close_dth: float = 0.2
     close_th_res: float = 0.00625
+    # motion-prior weight (score units per meter/radian of deviation from
+    # the odometry guess) — MAP fusion of match likelihood with odometry;
+    # see matcher/search.py. The reference has no equivalent (its 1081-beam
+    # scans drown occlusion noise); required for sparse-beam robustness.
+    close_prior_weight: float = 0.15
     # (b) loop-closure matching — per candidate vertex (+π-rotated twins)
     lc_dx: float = 0.5
     lc_dy: float = 1.5

@@ -143,6 +143,30 @@ def add_edge(g: PoseGraph, i, j, z: jax.Array, info: jax.Array,
     )
 
 
+def add_edges_masked(g: PoseGraph, i: jax.Array, j: jax.Array,
+                     z: jax.Array, info: jax.Array, accept: jax.Array,
+                     level=LEVEL_DEFAULT, owner=0) -> PoseGraph:
+    """Append the ``accept``-masked subset of K candidate edges in one
+    scatter (jit-safe batched ``add_edge``). ``info`` is packed ``[K,6]``.
+    Rejected entries scatter out of bounds and are dropped."""
+    cap = g.e_ij.shape[-2]
+    order = jnp.cumsum(accept.astype(jnp.int32)) - 1
+    slot = jnp.where(accept, g.n_edges + order, cap)
+    return dataclasses.replace(
+        g,
+        e_ij=g.e_ij.at[slot].set(
+            jnp.stack([i, j], -1).astype(jnp.int32), mode="drop"),
+        e_z=g.e_z.at[slot].set(z, mode="drop"),
+        e_info=g.e_info.at[slot].set(info, mode="drop"),
+        emask=g.emask.at[slot].set(True, mode="drop"),
+        e_level=g.e_level.at[slot].set(
+            jnp.asarray(level, jnp.int32), mode="drop"),
+        e_owner=g.e_owner.at[slot].set(
+            jnp.asarray(owner, jnp.int32), mode="drop"),
+        n_edges=g.n_edges + jnp.sum(accept.astype(jnp.int32)),
+    )
+
+
 def remove_edges(g: PoseGraph, kill: jax.Array) -> PoseGraph:
     """Mask out edges where ``kill`` is True (slots are not compacted)."""
     return dataclasses.replace(g, emask=g.emask & ~kill)

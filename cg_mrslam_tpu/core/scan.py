@@ -74,6 +74,17 @@ def beam_valid(s: ScanSet, indices=None) -> jax.Array:
     return (r > 0.0) & (r < jnp.minimum(s.max_range, s.usable_range) * 0.9999)
 
 
+def points_from_ranges(s: ScanSet, ranges: jax.Array):
+    """One raw scan ``[B]`` → (points ``[B,2]`` in base frame, valid ``[B]``)
+    using the ScanSet's shared laser geometry."""
+    a = beam_angles(s)
+    pts = jnp.stack([ranges * jnp.cos(a), ranges * jnp.sin(a)], axis=-1)
+    valid = (ranges > 0.0) & (
+        ranges < jnp.minimum(s.max_range, s.usable_range) * 0.9999
+    )
+    return se2.apply(s.laser_offset, pts), valid
+
+
 def scan_points(s: ScanSet, indices=None) -> jax.Array:
     """Cartesian endpoints ``[..., B, 2]`` in the *robot base* frame.
 

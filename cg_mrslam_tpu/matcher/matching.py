@@ -59,6 +59,7 @@ def close_match(ref_points: jax.Array, ref_valid: jax.Array,
         grid, center, cfg.resolution, cur_points, cur_valid, guess,
         th_span=windows.close_dth, th_res=windows.close_th_res,
         x_span=windows.close_dx, y_span=windows.close_dy, topk=1,
+        prior_weight=windows.close_prior_weight,
     )
     return Match(pose=res.poses[0], score=res.scores[0],
                  accepted=res.scores[0] < cfg.max_score)

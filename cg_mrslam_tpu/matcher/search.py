@@ -71,8 +71,13 @@ def score_volume(grid: jax.Array, center: jax.Array, resolution: float,
 
 def volume_topk(scores: jax.Array, base: jax.Array, thetas: jax.Array,
                 ty_cells: jax.Array, tx_cells: jax.Array,
-                resolution: float, k: int) -> SearchResult:
-    """Best-k poses from a score volume (flattened lax.top_k)."""
+                resolution: float, k: int,
+                report: jax.Array | None = None) -> SearchResult:
+    """Best-k poses from a score volume (flattened lax.top_k).
+
+    Selection runs on ``scores``; the returned score is read from
+    ``report`` when given (raw match quality without prior/tie-break
+    penalties, so acceptance thresholds see pure scan agreement)."""
     t, dy, dx = scores.shape
     flat = scores.reshape(-1)
     neg, idx = jax.lax.top_k(-flat, k)
@@ -87,7 +92,8 @@ def volume_topk(scores: jax.Array, base: jax.Array, thetas: jax.Array,
         ],
         axis=-1,
     )
-    return SearchResult(poses=poses, scores=-neg)
+    out = -neg if report is None else report.reshape(-1)[idx]
+    return SearchResult(poses=poses, scores=out)
 
 
 def make_lattice(span: float, step: float) -> jax.Array:
@@ -96,12 +102,42 @@ def make_lattice(span: float, step: float) -> jax.Array:
     return jnp.arange(-n, n + 1, dtype=jnp.float32) * step
 
 
+# Prior weight on deviating from the search base, in score units (meters
+# of mean point distance) per meter/radian of offset.
+#
+# TIEBREAK (the default) only breaks exact ties: in self-similar geometry
+# (a corridor seen along its axis) whole ridges of the score volume are
+# equal and argmin would pick an arbitrary lattice extreme. It is far
+# below any real score contrast (≥ ~1e-3).
+#
+# Close matching instead passes a real motion-prior weight
+# (``SearchWindows.close_prior_weight``): with sparse beams, occlusion
+# novelty (points the reference scans never saw) puts an 0.01-0.02 noise
+# floor on the score that can pull the argmin to a spurious coincidence a
+# whole window away from an odometry guess that is good to a few cm. The
+# MAP view — match likelihood + odometry prior — prices a w·|offset|
+# penalty so spurious minima lose while genuine large corrections (whose
+# score gain is the full misalignment cost, ≥ 0.1) still win. Acceptance
+# thresholds always see the raw score (``volume_topk(report=...)``).
+TIEBREAK = 1e-4
+
+
+def _offset_penalty(thetas_rel, ty_cells, tx_cells, resolution, weight):
+    return weight * (
+        jnp.abs(thetas_rel)[:, None, None]
+        + (jnp.abs(ty_cells) * resolution)[None, :, None]
+        + (jnp.abs(tx_cells) * resolution)[None, None, :]
+    )
+
+
 @partial(jax.jit, static_argnames=("resolution", "th_res", "th_span",
-                                   "x_span", "y_span", "topk"))
+                                   "x_span", "y_span", "topk",
+                                   "prior_weight"))
 def grid_search(grid: jax.Array, center: jax.Array, resolution: float,
                 points: jax.Array, valid: jax.Array, base: jax.Array, *,
                 th_span: float, th_res: float, x_span: float, y_span: float,
-                topk: int = 1) -> SearchResult:
+                topk: int = 1, prior_weight: float = TIEBREAK
+                ) -> SearchResult:
     """One-shot region search (reference ``greedySearch`` semantics):
     full (θ × ty × tx) lattice at grid resolution around ``base``."""
     thetas = make_lattice(th_span, th_res)
@@ -109,9 +145,11 @@ def grid_search(grid: jax.Array, center: jax.Array, resolution: float,
                     int(round(y_span / resolution)) + 1, dtype=jnp.int32)
     tx = jnp.arange(-int(round(x_span / resolution)),
                     int(round(x_span / resolution)) + 1, dtype=jnp.int32)
-    scores = score_volume(grid, center, resolution, points, valid, base,
-                          thetas, ty, tx)
-    return volume_topk(scores, base, thetas, ty, tx, resolution, topk)
+    raw = score_volume(grid, center, resolution, points, valid, base,
+                       thetas, ty, tx)
+    scores = raw + _offset_penalty(thetas, ty, tx, resolution, prior_weight)
+    return volume_topk(scores, base, thetas, ty, tx, resolution, topk,
+                       report=raw)
 
 
 def hierarchical_search(grid: jax.Array, center: jax.Array,
@@ -133,16 +171,18 @@ def hierarchical_search(grid: jax.Array, center: jax.Array,
     step0 = 2 ** (levels - 1)
 
     def level_search(b, th_sp, th_st, x_sp, y_sp, cell_step, k):
-        thetas = b[2] + make_lattice(th_sp, th_st)
+        rel = make_lattice(th_sp, th_st)
+        thetas = b[2] + rel
         ny = max(1, int(round(y_sp / (resolution * cell_step))))
         nx = max(1, int(round(x_sp / (resolution * cell_step))))
         ty = jnp.arange(-ny, ny + 1, dtype=jnp.int32) * cell_step
         tx = jnp.arange(-nx, nx + 1, dtype=jnp.int32) * cell_step
-        scores = score_volume(grid, center, resolution, points, valid,
-                              jnp.stack([b[0], b[1], jnp.float32(0.0)]),
-                              thetas, ty, tx)
+        raw = score_volume(grid, center, resolution, points, valid,
+                           jnp.stack([b[0], b[1], jnp.float32(0.0)]),
+                           thetas, ty, tx)
+        scores = raw + _offset_penalty(rel, ty, tx, resolution, TIEBREAK)
         return volume_topk(scores, jnp.stack([b[0], b[1], 0.0]), thetas,
-                           ty, tx, resolution, k)
+                           ty, tx, resolution, k, report=raw)
 
     # level 0: full window, coarse step, keep `branch`
     res0 = level_search(base, th_span, th_res * step0, x_span, y_span,

@@ -1,0 +1,340 @@
+"""Single-robot SLAM engine: one jitted keyframe step.
+
+TPU-native replacement for the reference's ``GraphSLAM`` engine + ``srslam``
+main loop (``/root/reference/src/slam/graph_slam.cpp``,
+``src/srslam.cpp:200-215``): per keyframe, the reference runs
+``addDataSM`` (new vertex + odometry edge refined by close scan matching,
+``graph_slam.cpp:197-267``), ``findConstraints`` (pre-optimize, Dijkstra
+candidate sets, covariance gating, per-component matching, windowed closure
+vote, ``:388-533``) and ``optimize(5)`` (``:561-574``) as thousands of
+small heap operations under a mutex. Here the whole keyframe is ONE jitted
+array program over the fixed-capacity state — no recompiles as the graph
+grows, ``vmap``-able over a batch of worlds, one device dispatch per
+keyframe.
+
+Host-side responsibilities shrink to dead-reckoning scalars between
+keyframes and the keyframe gate (``srslam.cpp:200-201``), handled by
+:class:`SingleRobotSlam`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cg_mrslam_tpu.config import Config
+from cg_mrslam_tpu.core import graph as G
+from cg_mrslam_tpu.core import scan as S
+from cg_mrslam_tpu.core.graph import PoseGraph
+from cg_mrslam_tpu.core.scan import ScanSet
+from cg_mrslam_tpu.matcher import matching
+from cg_mrslam_tpu.matcher.grid import build_grid
+from cg_mrslam_tpu.matcher.search import grid_search
+from cg_mrslam_tpu.pipeline import closure as CL
+from cg_mrslam_tpu.pipeline import graph_dist as GD
+from cg_mrslam_tpu.solver import gauss_newton as gn
+from cg_mrslam_tpu.utils import se2
+
+# static sizing knobs of the fused step (capacity, not behaviour)
+MAX_REGIONS = 4          # simultaneous loop-closure components searched
+REGION_VERTICES = 6      # scans rasterized into one region's grid
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SlamState:
+    graph: PoseGraph
+    scans: ScanSet
+    buffer: CL.ClosureBuffer
+
+
+def init_state(cfg: Config, beams: int, initial_pose, ranges,
+               fov: float, max_range: float,
+               laser_offset=(0.0, 0.0, 0.0)) -> SlamState:
+    """``setInitialData`` equivalent: gauge-fixed first vertex + its scan
+    (reference ``graph_slam.cpp:87-143``)."""
+    g = G.empty(cfg.max_vertices, cfg.max_edges)
+    g = G.add_vertex(g, jnp.asarray(initial_pose, jnp.float32), fixed=True)
+    scans = S.empty(cfg.max_vertices, beams, first_beam_angle=-fov / 2,
+                    angular_step=fov / beams, max_range=max_range)
+    scans = dataclasses.replace(
+        scans, laser_offset=jnp.asarray(laser_offset, jnp.float32))
+    scans = S.set_scan(scans, 0, jnp.asarray(ranges, jnp.float32))
+    buf = CL.empty(cfg.slam.window_loop_closure
+                   * MAX_REGIONS)
+    return SlamState(graph=g, scans=scans, buffer=buf)
+
+
+class StepInfo(NamedTuple):
+    pose: jax.Array          # [3] optimized pose of the new vertex
+    sm_accepted: jax.Array   # [] bool — close match used for the odom edge
+    closures_added: jax.Array  # [] int32 — accepted loop closures this step
+    chi2: jax.Array          # [] post-optimization chi2
+
+
+def _diag_info(d) -> jax.Array:
+    return jnp.asarray([d[0], 0.0, 0.0, d[1], 0.0, d[2]], jnp.float32)
+
+
+def _window_reference(state: SlamState, cur, window: int):
+    """World-frame points of the previous ≤``window`` vertices' scans
+    (the reference's close-matching vset, ``graph_slam.cpp:227-244``)."""
+    idxs = cur - 1 - jnp.arange(window, dtype=jnp.int32)
+    ok = idxs >= 0
+    idxs = jnp.maximum(idxs, 0)
+    pts = S.scan_points(state.scans, idxs)                  # [W,B,2] base
+    world = se2.apply(state.graph.poses[idxs], pts)
+    valid = (S.beam_valid(state.scans, idxs)
+             & ok[:, None] & state.scans.smask[idxs][:, None])
+    return world.reshape(-1, 2), valid.reshape(-1)
+
+
+def _add_keyframe(state: SlamState, est, ranges, cfg: Config):
+    """``addDataSM``: vertex from dead-reckoned estimate; odometry edge
+    refined by close scan matching (reference ``graph_slam.cpp:197-267``)."""
+    g = state.graph
+    cur = g.n_vertices
+    prev = cur - 1
+    prev_pose = g.poses[prev]
+
+    ref_pts, ref_valid = _window_reference(
+        state, cur, cfg.slam.close_match_window)
+    cur_pts, cur_valid = S.points_from_ranges(state.scans, ranges)
+    # coverage crop: only score current points inside the previous scan's
+    # coverage disk. Frontier points (seen beyond the reference coverage)
+    # otherwise reward sliding the match backwards along featureless
+    # directions — the mean-distance score counts them as unexplained at
+    # the true pose but explained when retreated into covered territory.
+    world_cur = se2.apply(est, cur_pts)
+    in_cover = jnp.linalg.norm(world_cur - prev_pose[:2], axis=-1) < (
+        state.scans.max_range - 0.5)
+    cur_valid = cur_valid & in_cover
+
+    m = matching.close_match(ref_pts, ref_valid, cur_pts, cur_valid, est,
+                             cfg=cfg.close_matcher, windows=cfg.windows)
+    pose_new = jnp.where(m.accepted, m.pose, est)
+    z = se2.relative(prev_pose, pose_new)
+    info = jnp.where(m.accepted, _diag_info(cfg.slam.sm_info),
+                     _diag_info(cfg.slam.odom_info))
+
+    g = G.add_vertex(g, pose_new)
+    g = G.add_edge(g, prev, cur, z, info)
+    scans = S.set_scan(state.scans, cur, ranges)
+    return dataclasses.replace(state, graph=g, scans=scans), m.accepted
+
+
+def _covariance_gate(g: PoseGraph, cur, reps, rvalid, cfg: Config):
+    """Mahalanobis gate on region representatives: is the candidate
+    statistically within perception range of the current vertex?
+    (reference ``checkCovariance``, ``graph_slam.cpp:311-354``: marginal
+    covariance with gauge at the current vertex, χ²(2) 5.99 cut, distances
+    deflated by 1 m perception range)."""
+    n = g.poses.shape[0]
+    regauged = dataclasses.replace(
+        g, fixed=jax.nn.one_hot(cur, n, dtype=bool))
+    cov = gn.marginal_covariance(regauged, reps)            # [K,3,3]
+    delta = g.poses[reps, :2] - g.poses[cur, :2]            # [K,2]
+    dist = jnp.linalg.norm(delta, axis=-1)
+    scale = jnp.maximum(dist - cfg.slam.perception_range_deflate, 0.0) / (
+        dist + 1e-9)
+    dd = delta * scale[:, None]
+    cxy = cov[:, :2, :2]
+    sol = jnp.linalg.solve(cxy, dd[..., None])[..., 0]
+    d2 = jnp.sum(dd * sol, axis=-1)
+    return rvalid & (d2 <= cfg.slam.chi2_gate)
+
+
+class RegionMatch(NamedTuple):
+    near_pose: jax.Array   # [K,3] close-window match around the estimate
+    near_score: jax.Array  # [K]
+    loop_pose: jax.Array   # [K,3] LC-window match around the rep (+π twin)
+    loop_score: jax.Array  # [K]
+
+
+def _match_regions(state: SlamState, est, cand, labels, regions,
+                   cur_pts, cur_valid, cfg: Config) -> RegionMatch:
+    """Per-component matching (reference ``findConstraints``,
+    ``graph_slam.cpp:444-463``). Each region rasterizes the scans of its
+    ≤``REGION_VERTICES`` nearest member vertices into an LC grid, then
+
+    * near mode: tight close-matching window around the CURRENT estimate,
+      no twin (``closeScanMatching`` path for near components);
+    * loop mode: LC window around the representative's pose plus a
+      π-rotated twin for reverse traversals (``scanMatchingLC``,
+      ``scan_matcher.cpp:222-241``).
+    """
+    g = state.graph
+    mcfg = cfg.lc_matcher
+    w = cfg.windows
+
+    def one(rep, rvalid):
+        in_comp = cand & (labels == labels[rep])
+        d = jnp.linalg.norm(g.poses[:, :2] - g.poses[rep, :2], axis=-1)
+        score = jnp.where(in_comp, -d, -jnp.float32(1e9))
+        _, mem = jax.lax.top_k(score, REGION_VERTICES)
+        mem_ok = in_comp[mem] & state.scans.smask[mem]
+
+        pts = S.scan_points(state.scans, mem)               # [M,B,2]
+        world = se2.apply(g.poses[mem], pts).reshape(-1, 2)
+        pvalid = (S.beam_valid(state.scans, mem)
+                  & mem_ok[:, None]).reshape(-1)
+        center = g.poses[rep, :2]
+        grid = build_grid(world, pvalid, center, cells=mcfg.cells,
+                          resolution=mcfg.resolution,
+                          kernel_radius=mcfg.kernel_radius)
+
+        # coverage crop around the representative (see _add_keyframe): the
+        # region grid only covers what its member scans could see
+        world_cur = se2.apply(est, cur_pts)
+        in_cover = jnp.linalg.norm(world_cur - center, axis=-1) < (
+            state.scans.max_range - 2.0)
+        cvalid = cur_valid & in_cover
+
+        far = jnp.float32(mcfg.kernel_radius)
+        rn = grid_search(grid, center, mcfg.resolution, cur_pts, cvalid,
+                         est, th_span=w.close_dth, th_res=w.lc_th_res,
+                         x_span=w.close_dx, y_span=w.close_dy, topk=1,
+                         prior_weight=w.close_prior_weight)
+
+        def lc(base):
+            r = grid_search(grid, center, mcfg.resolution, cur_pts,
+                            cvalid, base, th_span=w.lc_dth,
+                            th_res=w.lc_th_res, x_span=w.lc_dx,
+                            y_span=w.lc_dy, topk=1)
+            return r.poses[0], r.scores[0]
+
+        base = g.poses[rep]
+        twin = base.at[2].add(jnp.pi)
+        poses2, scores2 = jax.vmap(lc)(jnp.stack([base, twin]))
+        b = jnp.argmin(scores2)
+        return RegionMatch(
+            near_pose=rn.poses[0],
+            near_score=jnp.where(rvalid, rn.scores[0], far),
+            loop_pose=poses2[b],
+            loop_score=jnp.where(rvalid, scores2[b], far),
+        )
+
+    return jax.vmap(one)(regions.rep_vertex, regions.valid)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
+                  cfg: Config):
+    """One full keyframe: addDataSM → findConstraints → optimize(5).
+
+    Mirrors the reference main loop body (``srslam.cpp:206-215``) as a
+    single fused device program.
+    """
+    state, sm_ok = _add_keyframe(state, est, ranges, cfg)
+    g = state.graph
+    cur = g.n_vertices - 1
+
+    # --- findConstraints (graph_slam.cpp:388-485) ---
+    g = gn.optimize(g, cfg.slam.pre_optimize_iterations)
+
+    dist = GD.bounded_distances(g, cur)
+    sets = GD.candidate_sets(
+        g, cur, dist, max_graph_dist_sm=cfg.slam.max_graph_dist_sm,
+        min_graph_dist_lc=cfg.slam.min_graph_dist_lc,
+        max_euc_dist_lc=cfg.slam.max_euc_dist_lc)
+    # exclude the vertices already used by close matching (the odometry
+    # window) — their constraint is the refined odometry edge
+    recent = (jnp.arange(g.poses.shape[0])
+              >= cur - cfg.slam.close_match_window)
+    cand = (sets.near | sets.loop) & ~recent
+    labels = GD.components(g, cand)
+    regions = GD.pick_regions(g, cand, labels, cur, MAX_REGIONS)
+
+    rvalid = _covariance_gate(g, cur, regions.rep_vertex, regions.valid,
+                              cfg)
+
+    cur_pts, cur_valid = S.points_from_ranges(state.scans, ranges)
+    state = dataclasses.replace(state, graph=g)
+    rm = _match_regions(state, g.poses[cur], cand, labels,
+                        regions._replace(valid=rvalid),
+                        cur_pts, cur_valid, cfg)
+
+    reps = regions.rep_vertex
+    info = jnp.tile(_diag_info(cfg.slam.sm_info), (MAX_REGIONS, 1))
+    near_region = dist[reps] <= cfg.slam.max_graph_dist_sm
+
+    # direct edges to near components (reference adds them immediately via
+    # close matching, graph_slam.cpp:444-457)
+    direct = rvalid & near_region & (rm.near_score
+                                     < cfg.close_matcher.max_score)
+    z_near = se2.relative(g.poses[reps], rm.near_pose)      # [K,3]
+    g = G.add_edges_masked(g, reps, jnp.full_like(reps, cur), z_near, info,
+                           direct)
+
+    # loop hypotheses ride the sliding window + consistency vote
+    hypo = rvalid & ~near_region & (rm.loop_score
+                                    < cfg.lc_matcher.max_score)
+    z_loop = se2.relative(g.poses[reps], rm.loop_pose)
+    buf = CL.tick(state.buffer, cfg.slam.window_loop_closure)
+    buf = CL.insert(buf, reps, jnp.full_like(reps, cur), z_loop, info, hypo)
+    vote = CL.consistency_vote(
+        buf, g.poses, inlier_threshold=cfg.slam.inlier_threshold,
+        min_inliers=cfg.slam.min_inliers)
+    g = CL.add_accepted(g, buf, vote.accept)
+    buf = CL.consume(buf, vote.accept)
+
+    # --- optimize(5) (graph_slam.cpp:561-574) ---
+    g = gn.optimize(g, cfg.slam.gn_iterations)
+
+    from cg_mrslam_tpu.core.linearize import chi2
+    state = dataclasses.replace(state, graph=g, buffer=buf)
+    info_out = StepInfo(
+        pose=g.poses[cur], sm_accepted=sm_ok,
+        closures_added=jnp.sum(vote.accept.astype(jnp.int32))
+        + jnp.sum(direct.astype(jnp.int32)),
+        chi2=chi2(g))
+    return state, info_out
+
+
+class SingleRobotSlam:
+    """Host-side driver: dead-reckoning + keyframe gate around the jitted
+    step (the reference's ``srslam.cpp`` main loop)."""
+
+    def __init__(self, cfg: Config, beams: int, initial_pose, ranges,
+                 fov: float, max_range: float,
+                 laser_offset=(0.0, 0.0, 0.0)):
+        self.cfg = cfg
+        self.state = init_state(cfg, beams, initial_pose, ranges, fov,
+                                max_range, laser_offset)
+        self._est = np.asarray(initial_pose, np.float64)
+        self._kf_est = self._est.copy()
+        self.infos: list = []
+
+    def observe(self, rel_odom, ranges) -> bool:
+        """Feed one odometry increment + scan; returns True when a
+        keyframe was processed (gate: >0.25 m or >π/4 since the last —
+        ``srslam.cpp:200-201``)."""
+        c, s = np.cos(self._est[2]), np.sin(self._est[2])
+        self._est = np.array([
+            self._est[0] + c * rel_odom[0] - s * rel_odom[1],
+            self._est[1] + s * rel_odom[0] + c * rel_odom[1],
+            (self._est[2] + rel_odom[2] + np.pi) % (2 * np.pi) - np.pi,
+        ])
+        dx = self._est[:2] - self._kf_est[:2]
+        dth = (self._est[2] - self._kf_est[2] + np.pi) % (2 * np.pi) - np.pi
+        if (np.hypot(*dx) <= self.cfg.slam.linear_update
+                and abs(dth) <= self.cfg.slam.angular_update):
+            return False
+        self.state, info = keyframe_step(
+            self.state, jnp.asarray(self._est, jnp.float32),
+            jnp.asarray(ranges, jnp.float32), self.cfg)
+        self.infos.append(info)
+        # re-anchor dead reckoning on the optimized pose
+        self._est = np.asarray(info.pose, np.float64)
+        self._kf_est = self._est.copy()
+        return True
+
+    @property
+    def poses(self) -> np.ndarray:
+        n = int(self.state.graph.n_vertices)
+        return np.asarray(self.state.graph.poses[:n])
