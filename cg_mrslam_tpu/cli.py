@@ -1,0 +1,192 @@
+"""Command-line entry points: ``srslam`` and ``cg_mrslam`` equivalents.
+
+Mirrors the reference binaries' flag surface
+(``/root/reference/src/srslam.cpp:77-98``, ``src/cg_mrslam.cpp:69-117``:
+``-resolution -maxScore -minInliers -windowLoopClosure -inlierThreshold
+-angularUpdate -linearUpdate -nRobots -maxScoreMR -minInliersMR
+-windowMRLoopClosure -modality -o``), driving the synthetic hospital
+world instead of ROS topics (the reference's bagfiles are absent from its
+checkout — see SURVEY §6). Outputs match the reference's artifacts:
+``robot-<i>-<name>.g2o`` graph dumps (``cg_mrslam.cpp:228-230``) and a
+map-server ``.pgm/.yaml`` occupancy map pair
+(``occupancy_map_server.cpp:128-169``).
+
+Usage:
+    python -m cg_mrslam_tpu srslam  -o out.g2o --ticks 800
+    python -m cg_mrslam_tpu cg_mrslam --nRobots 2 --modality sim -o exp
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+import numpy as np
+
+
+def _common_flags(p: argparse.ArgumentParser):
+    p.add_argument("-o", default="out", help="output name stem")
+    p.add_argument("--resolution", type=float, default=0.025,
+                   help="close-matcher grid resolution [m]")
+    p.add_argument("--maxScore", type=float, default=0.15)
+    p.add_argument("--minInliers", type=int, default=7)
+    p.add_argument("--windowLoopClosure", type=int, default=10)
+    p.add_argument("--inlierThreshold", type=float, default=2.0)
+    p.add_argument("--angularUpdate", type=float, default=math.pi / 4)
+    p.add_argument("--linearUpdate", type=float, default=0.25)
+    # simulation source (replaces ROS sensor topics)
+    p.add_argument("--world-width", type=float, default=40.0)
+    p.add_argument("--world-height", type=float, default=20.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--beams", type=int, default=360)
+    p.add_argument("--max-range", type=float, default=10.0)
+    p.add_argument("--loops", type=int, default=2)
+    p.add_argument("--ticks", type=int, default=0,
+                   help="limit simulation ticks (0 = full route)")
+    p.add_argument("--odom-noise", type=float, nargs=2,
+                   default=(0.01, 0.004))
+    p.add_argument("--max-vertices", type=int, default=512)
+    p.add_argument("--max-edges", type=int, default=2048)
+    p.add_argument("--map-resolution", type=float, default=0.05)
+    p.add_argument("--no-map", action="store_true")
+
+
+def _build_config(a, n_robots: int = 1):
+    from cg_mrslam_tpu.config import (Config, MatcherConfig, MRConfig,
+                                      SlamConfig)
+
+    return Config(
+        slam=SlamConfig(
+            linear_update=a.linearUpdate, angular_update=a.angularUpdate,
+            min_inliers=a.minInliers,
+            window_loop_closure=a.windowLoopClosure,
+            inlier_threshold=a.inlierThreshold),
+        mr=MRConfig(
+            n_robots=n_robots,
+            max_score_mr=getattr(a, "maxScoreMR", 0.15),
+            min_inliers_mr=getattr(a, "minInliersMR", 5),
+            window_mr_loop_closure=getattr(a, "windowMRLoopClosure", 10),
+            sim_comm_range=getattr(a, "commRange", 5.0)),
+        close_matcher=MatcherConfig(
+            extent=30.0, resolution=a.resolution, kernel_radius=0.2,
+            max_score=a.maxScore),
+        lc_matcher=MatcherConfig(
+            extent=70.0, resolution=0.1, kernel_radius=0.5,
+            max_score=a.maxScore),
+        max_vertices=a.max_vertices,
+        max_edges=a.max_edges,
+    )
+
+
+def _save_outputs(name: str, slam_state, cfg, a, robot_id: int = 0):
+    import jax.numpy as jnp
+    from cg_mrslam_tpu.io import g2o
+    from cg_mrslam_tpu.maps import occupancy as OCC
+
+    # id namespacing as in the reference: runningId + robotId*baseId
+    # (graph_slam.cpp:155)
+    n = slam_state.graph.poses.shape[0]
+    vo = np.asarray(slam_state.v_owner)
+    vr = np.asarray(slam_state.v_remote)
+    ids = (vr + vo * cfg.slam.base_id).astype(np.int64)
+    path = f"robot-{robot_id}-{name}.g2o"
+    g2o.save(path, slam_state.graph, ids=ids, scans=slam_state.scans)
+    print(f"wrote {path}")
+
+    if not a.no_map:
+        poses_np = np.asarray(slam_state.graph.poses)[
+            np.asarray(slam_state.graph.vmask)]
+        center = OCC.map_center(poses_np, pad=a.max_range)
+        span = (poses_np[:, :2].max(0) - poses_np[:, :2].min(0)).max() \
+            + 2 * a.max_range
+        cells = int(np.ceil(span / a.map_resolution / 128.0)) * 128
+        grid = OCC.integrate(
+            slam_state.graph.poses, slam_state.scans,
+            jnp.asarray(center), cells=cells,
+            resolution=a.map_resolution, max_range=a.max_range)
+        tri = np.asarray(OCC.threshold(grid))
+        OCC.save_pgm_yaml(f"robot-{robot_id}-{name}-map", tri, center,
+                          a.map_resolution)
+        print(f"wrote robot-{robot_id}-{name}-map.pgm/.yaml")
+
+
+def cmd_srslam(argv):
+    p = argparse.ArgumentParser(prog="srslam")
+    _common_flags(p)
+    a = p.parse_args(argv)
+
+    from cg_mrslam_tpu.pipeline.slam import SingleRobotSlam
+    from cg_mrslam_tpu.sim import world as W
+
+    cfg = _build_config(a)
+    world = W.hospital_world(a.world_width, a.world_height, seed=a.seed)
+    wps = W.corridor_waypoints(a.world_width, a.world_height, 0, a.loops)
+    fov = 2 * np.pi * 0.75
+    traj = W.simulate_robot(world, wps, seed=a.seed + 1, beams=a.beams,
+                            fov=fov, max_range=a.max_range,
+                            odom_noise=tuple(a.odom_noise))
+    slam = SingleRobotSlam(cfg, a.beams, traj.gt[0], traj.ranges[0], fov,
+                           a.max_range)
+    T = len(traj.gt) if not a.ticks else min(a.ticks, len(traj.gt))
+    for t in range(1, T):
+        if slam.observe(traj.rel_odom[t - 1], traj.ranges[t]):
+            i = slam.infos[-1]
+            print(f"keyframe {int(slam.state.graph.n_vertices)-1}: "
+                  f"sm={int(i.sm_accepted)} closures=+{int(i.closures_added)} "
+                  f"chi2={float(i.chi2):.2f}")
+        if int(slam.state.graph.n_vertices) >= cfg.max_vertices - 2:
+            print("vertex capacity reached; stopping")
+            break
+    _save_outputs(a.o, slam.state, cfg, a)
+
+
+def cmd_cg_mrslam(argv):
+    p = argparse.ArgumentParser(prog="cg_mrslam")
+    _common_flags(p)
+    p.add_argument("--nRobots", type=int, default=2)
+    p.add_argument("--maxScoreMR", type=float, default=0.15)
+    p.add_argument("--minInliersMR", type=int, default=5)
+    p.add_argument("--windowMRLoopClosure", type=int, default=10)
+    p.add_argument("--modality", choices=("sim", "real"), default="sim")
+    p.add_argument("--commRange", type=float, default=5.0)
+    a = p.parse_args(argv)
+
+    from cg_mrslam_tpu.mr.sim import MultiRobotSim
+    from cg_mrslam_tpu.sim import world as W
+
+    cfg = _build_config(a, n_robots=a.nRobots)
+    world = W.hospital_world(a.world_width, a.world_height, seed=a.seed)
+    sim = MultiRobotSim(cfg, world, beams=a.beams,
+                        max_range=a.max_range, seed=a.seed,
+                        n_loops=a.loops, odom_noise=tuple(a.odom_noise),
+                        width=a.world_width, height=a.world_height)
+    sim.run(max_ticks=a.ticks or None, modality=a.modality)
+    for r in range(a.nRobots):
+        st = sim.states[r]
+        print(f"robot {r}: vertices={int(st.slam.graph.n_vertices)} "
+              f"closures={int(sim.closure_stats[r])} "
+              f"inter-robot accepted={int(np.asarray(st.out_closures).sum())}")
+        _save_outputs(a.o, st.slam, cfg, a, robot_id=r)
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m cg_mrslam_tpu {srslam|cg_mrslam} [flags]\n"
+              "  srslam     single-robot SLAM on the synthetic world\n"
+              "  cg_mrslam  multi-robot condensed-graph SLAM")
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "srslam":
+        cmd_srslam(rest)
+    elif cmd == "cg_mrslam":
+        cmd_cg_mrslam(rest)
+    else:
+        print(f"unknown command {cmd!r}", file=sys.stderr)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

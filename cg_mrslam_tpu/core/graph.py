@@ -146,12 +146,26 @@ def add_edge(g: PoseGraph, i, j, z: jax.Array, info: jax.Array,
 def add_edges_masked(g: PoseGraph, i: jax.Array, j: jax.Array,
                      z: jax.Array, info: jax.Array, accept: jax.Array,
                      level=LEVEL_DEFAULT, owner=0) -> PoseGraph:
-    """Append the ``accept``-masked subset of K candidate edges in one
+    """Insert the ``accept``-masked subset of K candidate edges in one
     scatter (jit-safe batched ``add_edge``). ``info`` is packed ``[K,6]``.
-    Rejected entries scatter out of bounds and are dropped."""
+
+    Slots freed by ``remove_edges`` (e.g. stars replaced wholesale by
+    :func:`cg_mrslam_tpu.mr.condensed.splice_star`) are REUSED — lowest
+    free slot first — so long-running graphs with edge churn stay within
+    their fixed capacity. Entries that find no free slot are dropped
+    (fixed-capacity overflow, mirrors the reference's bounded buffers)."""
     cap = g.e_ij.shape[-2]
+    k = accept.shape[0]
+    free = ~g.emask
+    # first-k free slots, ascending index
+    score = jnp.where(free, -jnp.arange(cap, dtype=jnp.int32),
+                      jnp.int32(-2 * cap))
+    _, free_slots = jax.lax.top_k(score, min(k, cap))
     order = jnp.cumsum(accept.astype(jnp.int32)) - 1
-    slot = jnp.where(accept, g.n_edges + order, cap)
+    order = jnp.clip(order, 0, free_slots.shape[0] - 1)
+    slot = jnp.where(accept, free_slots[order], cap)
+    slot = jnp.where(free[jnp.clip(slot, 0, cap - 1)], slot, cap)  # overflow
+    placed = (slot < cap).astype(jnp.int32)
     return dataclasses.replace(
         g,
         e_ij=g.e_ij.at[slot].set(
@@ -163,7 +177,9 @@ def add_edges_masked(g: PoseGraph, i: jax.Array, j: jax.Array,
             jnp.asarray(level, jnp.int32), mode="drop"),
         e_owner=g.e_owner.at[slot].set(
             jnp.asarray(owner, jnp.int32), mode="drop"),
-        n_edges=g.n_edges + jnp.sum(accept.astype(jnp.int32)),
+        n_edges=jnp.maximum(
+            g.n_edges,
+            jnp.max(jnp.where(placed > 0, slot + 1, 0))).astype(jnp.int32),
     )
 
 

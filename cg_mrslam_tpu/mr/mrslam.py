@@ -1,0 +1,338 @@
+"""Multi-robot SLAM: the inter-robot exchange protocol as array programs.
+
+TPU-native replacement for the reference's ``MRGraphSLAM`` + message layer
+(``/root/reference/src/mrslam/mr_graph_slam.cpp``, ``msg_factory.h``):
+
+* **ComboMessage** (``mr_graph_slam.cpp:564-605``): a robot's last ≤5 pose
+  estimates + its newest scan. Receiver instantiates the unknown newest
+  vertex (with scan) in its own graph and parks it for matching
+  (``:118-252``).
+* **Global matching** of parked foreign vertices against the local map
+  (``:254-329``): full-θ hierarchical search; success buffers an
+  inter-robot closure hypothesis (info diag(100,100,1000), ``:228-242``)
+  in a per-peer sliding window voted like intra-robot closures
+  (``:60-112``, ``minInliersMR``).
+* **CondensedGraphMessage** (``:607-670``): accepted closures are reported
+  to the vertex owner, who condenses its own-edge graph onto exactly those
+  boundary vertices and ships the labeled star back; received stars are
+  spliced wholesale (``condensed_graph_buffer.cpp:437-510``).
+
+Messages are fixed-shape pytrees; delivery is gated by a connectivity
+mask (``mr.network``). Wire framing (float32 arrays) matches the
+reference's precision choice (doubles sent as float32,
+``msg_factory.h:78-112``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cg_mrslam_tpu.config import Config
+from cg_mrslam_tpu.core import graph as G
+from cg_mrslam_tpu.core import scan as S
+from cg_mrslam_tpu.matcher import matching
+from cg_mrslam_tpu.mr import condensed as CG
+from cg_mrslam_tpu.pipeline import closure as CL
+from cg_mrslam_tpu.pipeline.slam import (
+    SlamState, init_state, newest_own, own_vertices,
+)
+from cg_mrslam_tpu.utils import se2
+
+# static message capacities (wire shape, not behaviour)
+COMBO_POSES = 5        # reference ships last ≤5 poses (mr_graph_slam.cpp:572)
+CLOSURE_LIST = 16      # boundary vertices per condensed request
+STAR_EDGES = 16        # virtual edges per star
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MRState:
+    """One robot's full multi-robot SLAM state."""
+
+    slam: SlamState
+    parked: jax.Array        # [N] bool — foreign vertices awaiting a match
+    park_age: jax.Array      # [N] int32 — keyframes since parked
+    peer_buf: CL.ClosureBuffer   # [R, W] per-peer hypothesis windows
+    in_closures: jax.Array   # [R, N] bool — MY vertices peer r closed on
+    out_closures: jax.Array  # [R, N] bool — r-owned slots I closed on
+
+
+class Combo(NamedTuple):
+    robot: jax.Array    # [] int32 — sender id
+    poses: jax.Array    # [C, 3] newest first
+    idxs: jax.Array     # [C] int32 — sender-local keyframe indices
+    valid: jax.Array    # [C] bool
+    ranges: jax.Array   # [B] — scan of the newest vertex
+
+
+class ClosureList(NamedTuple):
+    idxs: jax.Array     # [L] int32 — RECEIVER-local vertex indices
+    valid: jax.Array    # [L] bool
+
+
+class StarMsg(NamedTuple):
+    gauge: jax.Array     # [] int32 — SENDER-local index
+    boundary: jax.Array  # [K] int32 — SENDER-local indices
+    z: jax.Array         # [K, 3]
+    info: jax.Array      # [K, 6]
+    valid: jax.Array     # [K] bool
+
+
+def init_mr_state(cfg: Config, beams: int, initial_pose, ranges,
+                  fov: float, max_range: float, my_id: int,
+                  laser_offset=(0.0, 0.0, 0.0)) -> MRState:
+    slam = init_state(cfg, beams, initial_pose, ranges, fov, max_range,
+                      laser_offset, my_id=my_id)
+    n = cfg.max_vertices
+    r = cfg.mr.n_robots
+    w = cfg.mr.window_mr_loop_closure * 2
+    peer_buf = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (r,) + a.shape).copy(), CL.empty(w))
+    return MRState(
+        slam=slam,
+        parked=jnp.zeros((n,), bool),
+        park_age=jnp.zeros((n,), jnp.int32),
+        peer_buf=peer_buf,
+        in_closures=jnp.zeros((r, n), bool),
+        out_closures=jnp.zeros((r, n), bool),
+    )
+
+
+@jax.jit
+def find_slot(state: SlamState, owner, ridx) -> jax.Array:
+    """My slot holding vertex ``ridx`` of robot ``owner``; N if absent."""
+    n = state.v_owner.shape[0]
+    hit = (state.graph.vmask & (state.v_owner == owner)
+           & (state.v_remote == ridx))
+    return jnp.where(jnp.any(hit), jnp.argmax(hit), n).astype(jnp.int32)
+
+
+@jax.jit
+def build_combo(st: MRState) -> Combo:
+    """My last ≤C own keyframes + newest scan
+    (``constructComboMessage``, ``mr_graph_slam.cpp:564-605``)."""
+    slots, ok = newest_own(st.slam, COMBO_POSES)
+    return Combo(
+        robot=st.slam.my_id,
+        poses=st.slam.graph.poses[slots],
+        idxs=st.slam.v_remote[slots],
+        valid=ok,
+        ranges=st.slam.scans.ranges[slots[0]],
+    )
+
+
+@jax.jit
+def receive_combo(st: MRState, combo: Combo, live: jax.Array) -> MRState:
+    """Instantiate the sender's newest vertex if unknown and park it
+    (``addInterRobotDataCombo``, ``mr_graph_slam.cpp:118-252``: known
+    vertices are skipped)."""
+    slam = st.slam
+    slot = find_slot(slam, combo.robot, combo.idxs[0])
+    n = slam.v_owner.shape[0]
+    is_new = live & combo.valid[0] & (slot == n)
+    tgt = jnp.where(is_new, slam.graph.n_vertices, n)  # n = drop
+
+    g = slam.graph
+    g = dataclasses.replace(
+        g,
+        poses=g.poses.at[tgt].set(combo.poses[0], mode="drop"),
+        vmask=g.vmask.at[tgt].set(True, mode="drop"),
+        n_vertices=jnp.where(is_new, g.n_vertices + 1, g.n_vertices),
+    )
+    scans = dataclasses.replace(
+        slam.scans,
+        ranges=slam.scans.ranges.at[tgt].set(combo.ranges, mode="drop"),
+        smask=slam.scans.smask.at[tgt].set(True, mode="drop"),
+    )
+    slam = dataclasses.replace(
+        slam, graph=g, scans=scans,
+        v_owner=slam.v_owner.at[tgt].set(combo.robot, mode="drop"),
+        v_remote=slam.v_remote.at[tgt].set(combo.idxs[0], mode="drop"))
+    return dataclasses.replace(
+        st, slam=slam,
+        parked=st.parked.at[tgt].set(True, mode="drop"),
+        park_age=st.park_age.at[tgt].set(0, mode="drop"))
+
+
+def _local_map_grid(st: MRState, cfg: Config, window: int):
+    """LC grid of my last ≤``window`` own scans, centered on my newest
+    pose (the reference matches foreign scans against a 21-vertex window
+    around its reference vertex, ``mr_graph_slam.cpp:172-213``)."""
+    from cg_mrslam_tpu.matcher.grid import build_grid
+
+    slam = st.slam
+    slots, ok = newest_own(slam, window)
+    pts = S.scan_points(slam.scans, slots)
+    world = se2.apply(slam.graph.poses[slots], pts).reshape(-1, 2)
+    valid = (S.beam_valid(slam.scans, slots)
+             & ok[:, None] & slam.scans.smask[slots][:, None]).reshape(-1)
+    center = slam.graph.poses[slots[0], :2]
+    mcfg = cfg.lc_matcher
+    grid = build_grid(world, valid, center, cells=mcfg.cells,
+                      resolution=mcfg.resolution,
+                      kernel_radius=mcfg.kernel_radius)
+    return grid, center, slots[0]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def try_match_parked(st: MRState, cfg: Config) -> MRState:
+    """Attempt global matching of the oldest parked foreign vertex
+    against my local map (``findInterRobotConstraints``,
+    ``mr_graph_slam.cpp:254-329``). One attempt per keyframe bounds the
+    (expensive) full-θ hierarchical search; unmatched vertices age out
+    after ``inter_robot_gap`` retries (``:328``)."""
+    from cg_mrslam_tpu.matcher.search import hierarchical_search
+
+    slam = st.slam
+    n = slam.v_owner.shape[0]
+    age = jnp.where(st.parked, st.park_age, -1)
+    cand = jnp.argmax(age).astype(jnp.int32)
+    has = st.parked[cand]
+
+    grid, center, my_ref = _local_map_grid(
+        st, cfg, 2 * cfg.mr.global_match_window + 1)
+    cur_pts, cur_valid = S.points_from_ranges(
+        slam.scans, slam.scans.ranges[cand])
+    cur_valid = cur_valid & slam.scans.smask[cand]
+
+    w = cfg.windows
+    res = hierarchical_search(
+        grid, center, cfg.lc_matcher.resolution, cur_pts, cur_valid,
+        slam.graph.poses[cand].at[:2].set(center),
+        th_span=jnp.pi, th_res=w.global_th_res,
+        x_span=w.global_dx, y_span=w.global_dy, levels=w.global_levels)
+    pose, score = res.poses[0], res.scores[0]
+    ok = has & (score < cfg.mr.max_score_mr)
+
+    # matched: move the foreign vertex to the matched pose and buffer the
+    # closure hypothesis my_ref -> cand (info diag(100,100,1000),
+    # mr_graph_slam.cpp:228-242)
+    g = slam.graph
+    g = dataclasses.replace(
+        g, poses=g.poses.at[jnp.where(ok, cand, n)].set(pose, mode="drop"))
+    slam = dataclasses.replace(slam, graph=g)
+
+    z = se2.relative(g.poses[my_ref], pose)
+    info = jnp.asarray([cfg.mr.closure_info[0], 0, 0,
+                        cfg.mr.closure_info[1], 0,
+                        cfg.mr.closure_info[2]], jnp.float32)
+    peer = slam.v_owner[cand]
+    buf_r = jax.tree_util.tree_map(lambda a: a[peer], st.peer_buf)
+    buf_r = CL.insert(buf_r, my_ref[None], cand[None], z[None],
+                      info[None], ok[None])
+    peer_buf = jax.tree_util.tree_map(
+        lambda full, one: full.at[peer].set(one), st.peer_buf, buf_r)
+
+    # retry bookkeeping: matched or aged-out vertices leave the queue
+    age2 = st.park_age + st.parked.astype(jnp.int32)
+    drop = st.parked & ((age2 > cfg.mr.inter_robot_gap)
+                        | ((jnp.arange(n) == cand) & ok))
+    return dataclasses.replace(
+        st, slam=slam, peer_buf=peer_buf,
+        parked=st.parked & ~drop, park_age=age2)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def vote_inter_robot(st: MRState, cfg: Config) -> MRState:
+    """Per-peer windowed consistency vote (``checkInterRobotClosures``,
+    ``mr_graph_slam.cpp:60-112``); accepted closures are recorded for the
+    condensed-graph request to that peer (``:86-106``)."""
+    slam = st.slam
+    r = st.in_closures.shape[0]
+
+    def per_peer(st_slam_outc, peer):
+        slam, out_c = st_slam_outc
+        buf = jax.tree_util.tree_map(lambda a: a[peer], st.peer_buf)
+        buf = CL.tick(buf, cfg.mr.window_mr_loop_closure)
+        vote = CL.consistency_vote(
+            buf, slam.graph.poses,
+            inlier_threshold=cfg.slam.inlier_threshold,
+            min_inliers=cfg.mr.min_inliers_mr)
+        g = CL.add_accepted(slam.graph, buf, vote.accept, owner=slam.my_id)
+        # record accepted foreign targets for the closure list to `peer`
+        n = slam.v_owner.shape[0]
+        tgt = jnp.where(vote.accept, buf.v_new, n)
+        out_c = out_c.at[peer].set(
+            out_c[peer].at[tgt].set(True, mode="drop"))
+        buf = CL.consume(buf, vote.accept)
+        slam = dataclasses.replace(slam, graph=g)
+        return (slam, out_c), buf
+
+    (slam, out_c), bufs = jax.lax.scan(
+        per_peer, (slam, st.out_closures), jnp.arange(r, dtype=jnp.int32))
+    return dataclasses.replace(st, slam=slam, out_closures=out_c,
+                               peer_buf=bufs)
+
+
+@jax.jit
+def build_closure_list(st: MRState, peer) -> ClosureList:
+    """Remote indices of ``peer``'s vertices I accepted closures on
+    (my condensed-graph request, ``constructCondensedGraphMessage``,
+    ``mr_graph_slam.cpp:607-670``)."""
+    sel = st.out_closures[peer] & (st.slam.v_owner == peer)
+    score = jnp.where(sel, st.slam.v_remote, -1)
+    vals, slots = jax.lax.top_k(score, CLOSURE_LIST)
+    return ClosureList(idxs=st.slam.v_remote[slots], valid=vals >= 0)
+
+
+@jax.jit
+def receive_closure_list(st: MRState, peer, cl: ClosureList,
+                         live: jax.Array) -> MRState:
+    """Record which of MY vertices ``peer`` closed on — the boundary of
+    the star I owe them (``insertOutClosure`` bookkeeping,
+    ``condensed_graph_buffer.cpp:131-170``; replace-wholesale keeps the
+    protocol idempotent)."""
+    slots = jax.vmap(lambda i: find_slot(st.slam, st.slam.my_id, i))(cl.idxs)
+    n = st.slam.v_owner.shape[0]
+    mask = jnp.zeros((n + 1,), bool).at[
+        jnp.where(cl.valid, slots, n)].set(True)[:n]
+    new_row = jnp.where(live, mask, st.in_closures[peer])
+    return dataclasses.replace(
+        st, in_closures=st.in_closures.at[peer].set(new_row))
+
+
+@jax.jit
+def build_star(st: MRState, peer) -> StarMsg:
+    """Condense my own-edge graph onto the boundary ``peer`` requested
+    (``computeCondensedGraph``, ``condensed_graph_buffer.cpp:437-485``:
+    own edges only, centroid gauge)."""
+    sel = st.in_closures[peer]
+    score = jnp.where(sel, st.slam.v_remote, -1)
+    vals, slots = jax.lax.top_k(score, STAR_EDGES)
+    valid = vals >= 0
+    g = st.slam.graph
+    gauge = CG.select_gauge_centroid(g, slots, valid)
+    own = G.own_edge_mask(g, st.slam.my_id)
+    star = CG.condense(g, slots, valid, gauge, own)
+    any_b = jnp.any(valid)
+    return StarMsg(
+        gauge=st.slam.v_remote[gauge],
+        boundary=st.slam.v_remote[slots],
+        z=star.z, info=star.info,
+        valid=star.valid & any_b)
+
+
+@jax.jit
+def receive_star(st: MRState, peer, msg: StarMsg,
+                 live: jax.Array) -> MRState:
+    """Splice ``peer``'s condensed star over its vertices in my graph
+    (``insertEdgesFromRobot``, ``condensed_graph_buffer.cpp:487-510``)."""
+    slam = st.slam
+    n = slam.v_owner.shape[0]
+    gauge_slot = find_slot(slam, peer, msg.gauge)
+    b_slots = jax.vmap(lambda i: find_slot(slam, peer, i))(msg.boundary)
+    ok = msg.valid & (b_slots < n) & (gauge_slot < n)
+    star = CG.Star(gauge=jnp.minimum(gauge_slot, n - 1),
+                   boundary=jnp.minimum(b_slots, n - 1),
+                   z=msg.z, info=msg.info, valid=ok)
+    spliced = CG.splice_star(slam.graph, star, owner=peer)
+    # no delivery -> no replacement (the reference only replaces a peer's
+    # star when a message actually arrives)
+    g = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(live, a, b), spliced, slam.graph)
+    return dataclasses.replace(st, slam=dataclasses.replace(slam, graph=g))

@@ -48,14 +48,22 @@ REGION_VERTICES = 6      # scans rasterized into one region's grid
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SlamState:
+    """Single-robot SLAM state; vertex-ownership arrays support the
+    multi-robot layer (foreign vertices interleave in the same slot space —
+    the reference namespaces ids as runningId + robotId·baseId,
+    ``graph_slam.cpp:155``; here ownership is explicit per slot)."""
+
     graph: PoseGraph
     scans: ScanSet
     buffer: CL.ClosureBuffer
+    my_id: jax.Array     # [] int32
+    v_owner: jax.Array   # [N] int32 — robot that created each vertex slot
+    v_remote: jax.Array  # [N] int32 — owner-local keyframe index
 
 
 def init_state(cfg: Config, beams: int, initial_pose, ranges,
                fov: float, max_range: float,
-               laser_offset=(0.0, 0.0, 0.0)) -> SlamState:
+               laser_offset=(0.0, 0.0, 0.0), my_id: int = 0) -> SlamState:
     """``setInitialData`` equivalent: gauge-fixed first vertex + its scan
     (reference ``graph_slam.cpp:87-143``)."""
     g = G.empty(cfg.max_vertices, cfg.max_edges)
@@ -67,7 +75,24 @@ def init_state(cfg: Config, beams: int, initial_pose, ranges,
     scans = S.set_scan(scans, 0, jnp.asarray(ranges, jnp.float32))
     buf = CL.empty(cfg.slam.window_loop_closure
                    * MAX_REGIONS)
-    return SlamState(graph=g, scans=scans, buffer=buf)
+    n = cfg.max_vertices
+    return SlamState(
+        graph=g, scans=scans, buffer=buf,
+        my_id=jnp.asarray(my_id, jnp.int32),
+        v_owner=jnp.full((n,), my_id, jnp.int32),
+        v_remote=jnp.full((n,), -1, jnp.int32).at[0].set(0))
+
+
+def own_vertices(state: SlamState) -> jax.Array:
+    """Mask of live vertices created by this robot."""
+    return state.graph.vmask & (state.v_owner == state.my_id)
+
+
+def newest_own(state: SlamState, k: int):
+    """Slots of my newest ``k`` own keyframes, newest first (+valid)."""
+    score = jnp.where(own_vertices(state), state.v_remote, -1)
+    vals, slots = jax.lax.top_k(score, k)
+    return slots.astype(jnp.int32), vals >= 0
 
 
 class StepInfo(NamedTuple):
@@ -81,12 +106,10 @@ def _diag_info(d) -> jax.Array:
     return jnp.asarray([d[0], 0.0, 0.0, d[1], 0.0, d[2]], jnp.float32)
 
 
-def _window_reference(state: SlamState, cur, window: int):
-    """World-frame points of the previous ≤``window`` vertices' scans
+def _window_reference(state: SlamState, window: int):
+    """World-frame points of my previous ≤``window`` OWN vertices' scans
     (the reference's close-matching vset, ``graph_slam.cpp:227-244``)."""
-    idxs = cur - 1 - jnp.arange(window, dtype=jnp.int32)
-    ok = idxs >= 0
-    idxs = jnp.maximum(idxs, 0)
+    idxs, ok = newest_own(state, window)
     pts = S.scan_points(state.scans, idxs)                  # [W,B,2] base
     world = se2.apply(state.graph.poses[idxs], pts)
     valid = (S.beam_valid(state.scans, idxs)
@@ -99,11 +122,12 @@ def _add_keyframe(state: SlamState, est, ranges, cfg: Config):
     refined by close scan matching (reference ``graph_slam.cpp:197-267``)."""
     g = state.graph
     cur = g.n_vertices
-    prev = cur - 1
+    prevs, _ = newest_own(state, 1)
+    prev = prevs[0]                       # my newest own keyframe slot
     prev_pose = g.poses[prev]
 
-    ref_pts, ref_valid = _window_reference(
-        state, cur, cfg.slam.close_match_window)
+    ref_pts, ref_valid = _window_reference(state,
+                                           cfg.slam.close_match_window)
     cur_pts, cur_valid = S.points_from_ranges(state.scans, ranges)
     # coverage crop: only score current points inside the previous scan's
     # coverage disk. Frontier points (seen beyond the reference coverage)
@@ -123,9 +147,13 @@ def _add_keyframe(state: SlamState, est, ranges, cfg: Config):
                      _diag_info(cfg.slam.odom_info))
 
     g = G.add_vertex(g, pose_new)
-    g = G.add_edge(g, prev, cur, z, info)
+    g = G.add_edge(g, prev, cur, z, info, owner=state.my_id)
     scans = S.set_scan(state.scans, cur, ranges)
-    return dataclasses.replace(state, graph=g, scans=scans), m.accepted
+    state = dataclasses.replace(
+        state, graph=g, scans=scans,
+        v_owner=state.v_owner.at[cur].set(state.my_id),
+        v_remote=state.v_remote.at[cur].set(state.v_remote[prev] + 1))
+    return state, m.accepted
 
 
 def _covariance_gate(g: PoseGraph, cur, reps, rvalid, cfg: Config):
@@ -242,10 +270,11 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
         g, cur, dist, max_graph_dist_sm=cfg.slam.max_graph_dist_sm,
         min_graph_dist_lc=cfg.slam.min_graph_dist_lc,
         max_euc_dist_lc=cfg.slam.max_euc_dist_lc)
-    # exclude the vertices already used by close matching (the odometry
+    # exclude my own vertices already used by close matching (the odometry
     # window) — their constraint is the refined odometry edge
-    recent = (jnp.arange(g.poses.shape[0])
-              >= cur - cfg.slam.close_match_window)
+    own = own_vertices(state)
+    recent = own & (state.v_remote
+                    > state.v_remote[cur] - (cfg.slam.close_match_window + 1))
     cand = (sets.near | sets.loop) & ~recent
     labels = GD.components(g, cand)
     regions = GD.pick_regions(g, cand, labels, cur, MAX_REGIONS)
@@ -263,24 +292,25 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
     info = jnp.tile(_diag_info(cfg.slam.sm_info), (MAX_REGIONS, 1))
     near_region = dist[reps] <= cfg.slam.max_graph_dist_sm
 
-    # direct edges to near components (reference adds them immediately via
-    # close matching, graph_slam.cpp:444-457)
-    direct = rvalid & near_region & (rm.near_score
-                                     < cfg.close_matcher.max_score)
+    # direct edges to near OWN components (reference adds them immediately
+    # via close matching for its own vertices, graph_slam.cpp:444-457;
+    # foreign vertices always go through the windowed vote)
+    direct = (rvalid & near_region & own[reps]
+              & (rm.near_score < cfg.close_matcher.max_score))
     z_near = se2.relative(g.poses[reps], rm.near_pose)      # [K,3]
     g = G.add_edges_masked(g, reps, jnp.full_like(reps, cur), z_near, info,
-                           direct)
+                           direct, owner=state.my_id)
 
     # loop hypotheses ride the sliding window + consistency vote
-    hypo = rvalid & ~near_region & (rm.loop_score
-                                    < cfg.lc_matcher.max_score)
+    hypo = (rvalid & ~direct
+            & (rm.loop_score < cfg.lc_matcher.max_score))
     z_loop = se2.relative(g.poses[reps], rm.loop_pose)
     buf = CL.tick(state.buffer, cfg.slam.window_loop_closure)
     buf = CL.insert(buf, reps, jnp.full_like(reps, cur), z_loop, info, hypo)
     vote = CL.consistency_vote(
         buf, g.poses, inlier_threshold=cfg.slam.inlier_threshold,
         min_inliers=cfg.slam.min_inliers)
-    g = CL.add_accepted(g, buf, vote.accept)
+    g = CL.add_accepted(g, buf, vote.accept, owner=state.my_id)
     buf = CL.consume(buf, vote.accept)
 
     # --- optimize(5) (graph_slam.cpp:561-574) ---

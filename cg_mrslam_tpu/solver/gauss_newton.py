@@ -40,9 +40,17 @@ class NormalEq(NamedTuple):
     free3: jax.Array  # [3N] float — 1.0 on free coordinates
 
 
-def _free_mask(g: PoseGraph) -> jax.Array:
-    """Free (optimizable) vertices: live and not gauge-fixed."""
-    return g.vmask & ~g.fixed
+def _free_mask(g: PoseGraph, edge_mask: jax.Array) -> jax.Array:
+    """Free (optimizable) vertices: live, not gauge-fixed, and touched by
+    at least one active edge (unconstrained vertices — e.g. foreign
+    vertices parked before their first closure — would make H singular,
+    so they are pinned like fixed vertices)."""
+    n = g.poses.shape[0]
+    deg = jnp.zeros((n,), jnp.int32)
+    em = edge_mask.astype(jnp.int32)
+    deg = deg.at[g.e_ij[:, 0]].add(em)
+    deg = deg.at[g.e_ij[:, 1]].add(em)
+    return g.vmask & ~g.fixed & (deg > 0)
 
 
 def build_normal_equations(
@@ -54,7 +62,8 @@ def build_normal_equations(
     replaces g2o's per-edge ``constructQuadraticForm`` virtual dispatch.
     """
     n = g.poses.shape[0]
-    mask = (g.emask if edge_mask is None else edge_mask).astype(g.poses.dtype)
+    emask_b = g.emask if edge_mask is None else edge_mask
+    mask = emask_b.astype(g.poses.dtype)
 
     e, Ji, Jj = linearize(g.poses, g.e_ij, g.e_z)
     omega = unpack_info(g.e_info) * mask[:, None, None]
@@ -88,7 +97,7 @@ def build_normal_equations(
     bidx = (3 * jnp.stack([vi, vj], 1))[:, :, None] + off[None, None, :]
     b = b.at[bidx.reshape(-1)].add(jnp.stack([bi, bj], 1).reshape(-1))
 
-    free3 = jnp.repeat(_free_mask(g), 3).astype(g.poses.dtype)
+    free3 = jnp.repeat(_free_mask(g, emask_b), 3).astype(g.poses.dtype)
     return NormalEq(H=H, b=b, free3=free3)
 
 
@@ -182,6 +191,10 @@ def marginal_covariance(
     """
     eq = build_normal_equations(g, edge_mask)
     H, _ = _gauge_fix(eq.H, eq.b, eq.free3)
+    # tiny jitter: a free vertex connected only within a gauge-less edge
+    # subset (degenerate caller input) keeps H factorizable instead of
+    # producing NaN covariances that would poison downstream consumers
+    H = H + 1e-6 * jnp.eye(H.shape[0], dtype=H.dtype)
     L = jax.scipy.linalg.cho_factor(H, lower=True)
 
     cols = (3 * query)[:, None] + jnp.arange(3)[None, :]  # [Q,3]

@@ -1,0 +1,37 @@
+"""Multi-device sharded solve must equal the single-device solve.
+
+Runs on the 8-device virtual CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from __graft_entry__ import _build_batch
+from cg_mrslam_tpu.parallel import sharding as SH
+from cg_mrslam_tpu.solver import gauss_newton as gn
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_sharded_matches_single_device():
+    g = _build_batch(8)
+    mesh = SH.make_mesh(8, shard=2)
+    gs = SH.shard_batch(g, mesh)
+    poses_sharded = np.asarray(SH.sharded_optimize(gs, mesh, iterations=5))
+
+    ref = jax.vmap(lambda gg: gn.optimize(gg, iterations=5))(g)
+    np.testing.assert_allclose(
+        poses_sharded, np.asarray(ref.poses), atol=5e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_sharded_handles_uneven_edge_shards():
+    # edge count not a multiple of shard size still solves correctly
+    # (padding slots are masked)
+    g = _build_batch(4, n_vertices=64, n_edges=130)
+    mesh = SH.make_mesh(4, shard=2)
+    gs = SH.shard_batch(g, mesh)
+    poses = np.asarray(SH.sharded_optimize(gs, mesh, iterations=3))
+    ref = jax.vmap(lambda gg: gn.optimize(gg, iterations=3))(g)
+    np.testing.assert_allclose(poses, np.asarray(ref.poses), atol=5e-4)
