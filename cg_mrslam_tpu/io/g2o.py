@@ -65,7 +65,14 @@ def _parse_robotlaser(tok: List[str]):
 
 def load(path: str, max_vertices: int | None = None,
          max_edges: int | None = None, beams: int | None = None,
-         dtype=jnp.float32) -> LoadedGraph:
+         dtype=jnp.float32, native: bool = True) -> LoadedGraph:
+    if native:
+        from cg_mrslam_tpu import native as N
+
+        parsed = N.parse_g2o(path)
+        if parsed is not None:
+            return _from_native(parsed, max_vertices, max_edges, beams,
+                                dtype)
     vertices: List[Tuple[int, np.ndarray]] = []
     fixed_ids = set()
     edges = []
@@ -163,6 +170,103 @@ def load(path: str, max_vertices: int | None = None,
             scans, ranges=jnp.asarray(ranges), smask=jnp.asarray(smask),
             laser_offset=off,
         )
+
+    return LoadedGraph(graph=g, ids=ids, scans=scans, laser_meta=laser_meta)
+
+
+def _from_native(p: dict, max_vertices, max_edges, beams,
+                 dtype) -> LoadedGraph:
+    """Assemble a LoadedGraph from the C++ parser's arrays (one pass of
+    vectorized numpy instead of per-line Python; see
+    ``cg_mrslam_tpu/native/g2o_parser.cpp``)."""
+    n = p["v_ids"].shape[0]
+    e = p["e_ids"].shape[0]
+    cap_v = max_vertices or n
+    cap_e = max_edges or max(e, 1)
+    if n > cap_v or e > cap_e:
+        raise ValueError(
+            f"graph ({n} v, {e} e) exceeds capacity ({cap_v}, {cap_e})")
+
+    ids = np.full((cap_v,), -1, np.int64)
+    ids[:n] = p["v_ids"]
+    poses = np.zeros((cap_v, 3), np.float64)
+    poses[:n] = p["v_pose"]
+    vmask = np.zeros((cap_v,), bool)
+    vmask[:n] = True
+    fix = np.zeros((cap_v,), bool)
+    fix[:n] = p["v_fixed"].astype(bool)
+    if n and not fix.any():
+        fix[0] = True
+
+    # id -> slot via sorted lookup (ids may be sparse/namespaced)
+    order = np.argsort(p["v_ids"], kind="stable")
+    sorted_ids = p["v_ids"][order]
+
+    def slot_of(raw_ids):
+        pos = np.searchsorted(sorted_ids, raw_ids)
+        pos = np.clip(pos, 0, n - 1)
+        ok = sorted_ids[pos] == raw_ids
+        if not ok.all():
+            raise ValueError("edge references unknown vertex id")
+        return order[pos]
+
+    e_ij = np.zeros((cap_e, 2), np.int32)
+    e_z = np.zeros((cap_e, 3), np.float64)
+    e_info = np.zeros((cap_e, 6), np.float64)
+    emask = np.zeros((cap_e,), bool)
+    if e:
+        e_ij[:e, 0] = slot_of(p["e_ids"][:, 0])
+        e_ij[:e, 1] = slot_of(p["e_ids"][:, 1])
+        e_z[:e] = p["e_z"]
+        e_info[:e] = p["e_info"]
+        emask[:e] = True
+
+    g = G.PoseGraph(
+        poses=jnp.asarray(poses, dtype),
+        vmask=jnp.asarray(vmask),
+        fixed=jnp.asarray(fix),
+        e_ij=jnp.asarray(e_ij),
+        e_z=jnp.asarray(e_z, dtype),
+        e_info=jnp.asarray(e_info, dtype),
+        emask=jnp.asarray(emask),
+        e_level=jnp.zeros((cap_e,), jnp.int32),
+        e_owner=jnp.zeros((cap_e,), jnp.int32),
+        n_vertices=jnp.asarray(n, jnp.int32),
+        n_edges=jnp.asarray(e, jnp.int32),
+    )
+
+    scans = None
+    laser_meta: Dict = {}
+    nl = p["l_vertex"].shape[0]
+    if nl:
+        meta = p["l_meta"]
+        b = beams or p["l_ranges"].shape[1]
+        scans = S.empty(
+            cap_v, b,
+            first_beam_angle=float(meta[0, 0]),
+            angular_step=float(meta[0, 2]),
+            max_range=float(meta[0, 3]),
+            fov=float(meta[0, 1]),
+        )
+        ranges = np.asarray(scans.ranges).copy()
+        smask = np.zeros((cap_v,), bool)
+        slots = p["l_vertex"].astype(np.int64)
+        w = min(b, p["l_ranges"].shape[1])
+        ranges[slots, :w] = p["l_ranges"][:, :w]
+        smask[slots] = True
+        for k in range(nl):
+            laser_meta[int(slots[k])] = {
+                "first_beam_angle": meta[k, 0], "fov": meta[k, 1],
+                "angular_step": meta[k, 2], "max_range": meta[k, 3],
+                "laser_pose": meta[k, 4:7], "odom_pose": meta[k, 7:10],
+                "ranges": p["l_ranges"][k],
+            }
+        from cg_mrslam_tpu.utils import se2
+        off = se2.relative(jnp.asarray(meta[0, 7:10], jnp.float32),
+                           jnp.asarray(meta[0, 4:7], jnp.float32))
+        scans = dataclasses.replace(
+            scans, ranges=jnp.asarray(ranges, jnp.float32),
+            smask=jnp.asarray(smask), laser_offset=off)
 
     return LoadedGraph(graph=g, ids=ids, scans=scans, laser_meta=laser_meta)
 

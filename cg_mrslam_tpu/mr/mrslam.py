@@ -47,6 +47,8 @@ from cg_mrslam_tpu.utils import se2
 COMBO_POSES = 5        # reference ships last ≤5 poses (mr_graph_slam.cpp:572)
 CLOSURE_LIST = 16      # boundary vertices per condensed request
 STAR_EDGES = 16        # virtual edges per star
+GRAPH_MSG_V = 128      # GraphMessage fallback capacities
+GRAPH_MSG_E = 256
 
 
 @jax.tree_util.register_dataclass
@@ -81,6 +83,23 @@ class StarMsg(NamedTuple):
     z: jax.Array         # [K, 3]
     info: jax.Array      # [K, 6]
     valid: jax.Array     # [K] bool
+
+
+class GraphMsg(NamedTuple):
+    """Full-graph fallback: the sender's own vertices + own edges
+    (reference ``constructGraphMessage``/``addInterRobotDataGraph``,
+    ``mr_graph_slam.cpp:397-483``, ``:672-739`` — the non-condensed
+    protocol, present but not wired into the reference's send loop;
+    O(map) bandwidth instead of the condensed star's O(boundary²))."""
+
+    robot: jax.Array    # [] int32
+    poses: jax.Array    # [V, 3]
+    idxs: jax.Array     # [V] int32 sender-local indices
+    vvalid: jax.Array   # [V] bool
+    e_ij: jax.Array     # [E, 2] int32 — sender-local index pairs
+    e_z: jax.Array      # [E, 3]
+    e_info: jax.Array   # [E, 6]
+    evalid: jax.Array   # [E] bool
 
 
 def init_mr_state(cfg: Config, beams: int, initial_pose, ranges,
@@ -315,6 +334,75 @@ def build_star(st: MRState, peer) -> StarMsg:
         boundary=st.slam.v_remote[slots],
         z=star.z, info=star.info,
         valid=star.valid & any_b)
+
+
+@jax.jit
+def build_graph_msg(st: MRState) -> GraphMsg:
+    """My newest ≤V own vertices and the own edges among them."""
+    slam = st.slam
+    n = slam.v_owner.shape[0]
+    slots, ok = newest_own(slam, min(GRAPH_MSG_V, n))
+    g = slam.graph
+    # own edges whose endpoints both sit in the shipped window
+    in_win = jnp.zeros((n,), bool).at[jnp.where(ok, slots, n)].set(
+        True, mode="drop")
+    own = G.own_edge_mask(g, slam.my_id)
+    e_ok = own & in_win[g.e_ij[:, 0]] & in_win[g.e_ij[:, 1]]
+    score = jnp.where(e_ok, jnp.arange(e_ok.shape[0], dtype=jnp.int32), -1)
+    evals, eslots = jax.lax.top_k(score, min(GRAPH_MSG_E,
+                                             e_ok.shape[0]))
+    evalid = evals >= 0
+    return GraphMsg(
+        robot=slam.my_id,
+        poses=g.poses[slots], idxs=slam.v_remote[slots], vvalid=ok,
+        e_ij=jnp.stack([slam.v_remote[g.e_ij[eslots, 0]],
+                        slam.v_remote[g.e_ij[eslots, 1]]], axis=-1),
+        e_z=g.e_z[eslots], e_info=g.e_info[eslots], evalid=evalid)
+
+
+@jax.jit
+def receive_graph_msg(st: MRState, msg: GraphMsg,
+                      live: jax.Array) -> MRState:
+    """Merge a peer's full graph: instantiate unknown vertices at their
+    reported poses (without scans — the fallback ships none) and replace
+    the peer-owned edge set (``addInterRobotDataGraph`` semantics,
+    ``mr_graph_slam.cpp:397-483``)."""
+    slam = st.slam
+    n = slam.v_owner.shape[0]
+
+    def add_one(sl, t):
+        idx, pose, ok = t
+        slot = find_slot(sl, msg.robot, idx)
+        is_new = live & ok & (slot == n)
+        tgt = jnp.where(is_new, sl.graph.n_vertices, n)
+        g = sl.graph
+        g = dataclasses.replace(
+            g,
+            poses=g.poses.at[tgt].set(pose, mode="drop"),
+            vmask=g.vmask.at[tgt].set(True, mode="drop"),
+            n_vertices=jnp.where(is_new, g.n_vertices + 1, g.n_vertices))
+        return dataclasses.replace(
+            sl, graph=g,
+            v_owner=sl.v_owner.at[tgt].set(msg.robot, mode="drop"),
+            v_remote=sl.v_remote.at[tgt].set(idx, mode="drop")), None
+
+    slam, _ = jax.lax.scan(add_one, slam,
+                           (msg.idxs, msg.poses, msg.vvalid))
+
+    vi = jax.vmap(lambda i: find_slot(slam, msg.robot, i))(msg.e_ij[:, 0])
+    vj = jax.vmap(lambda i: find_slot(slam, msg.robot, i))(msg.e_ij[:, 1])
+    ok = live & msg.evalid & (vi < n) & (vj < n)
+    g = slam.graph
+    # replace-wholesale like the condensed star (idempotent under resend):
+    # previous full-graph edges from this peer are level 1+robot as well
+    level = 1 + msg.robot
+    stale = (g.emask & (g.e_owner == msg.robot) & (g.e_level == level)
+             & live)
+    g = G.remove_edges(g, stale)
+    g = G.add_edges_masked(g, jnp.minimum(vi, n - 1), jnp.minimum(vj, n - 1),
+                           msg.e_z, msg.e_info, ok, level=level,
+                           owner=msg.robot)
+    return dataclasses.replace(st, slam=dataclasses.replace(slam, graph=g))
 
 
 @jax.jit

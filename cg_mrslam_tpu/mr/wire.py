@@ -1,0 +1,110 @@
+"""Binary wire codec for inter-robot messages.
+
+TPU-native replacement for the reference's hand-rolled serialization
+(``/root/reference/src/mrslam/msg_factory.h:45-115``): type-tagged
+header (int type + int robotId), doubles transmitted as float32
+(``msg_factory.h:78-112``), 100 000-byte datagram bound
+(``msg_factory.h:115``). Message type tags keep the reference's values
+(ComboMessage=4, ClosuresMessage=6, CondensedGraphMessage=7,
+GraphMessage=8 — ``msg_factory.h:141-271``).
+
+Messages are fixed-shape array pytrees (``mr.mrslam``), so a codec is a
+flat concatenation with a small header — one ``np.tobytes`` per send, one
+``np.frombuffer`` per receive. Used by the multi-host transport and by
+the REAL-modality logging path; the single-process sim passes pytrees
+directly.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Tuple, Union
+
+import numpy as np
+
+from cg_mrslam_tpu.mr.mrslam import ClosureList, Combo, StarMsg
+
+MAX_DATAGRAM = 100_000           # msg_factory.h:115
+TYPE_COMBO = 4                   # msg_factory.h:141-271 tag values
+TYPE_CLOSURES = 6
+TYPE_CONDENSED = 7
+TYPE_GRAPH = 8
+
+_HDR = struct.Struct("<iii")     # type, robotId, payload float32 count
+
+
+def _pack(msg_type: int, robot: int, *arrays: np.ndarray) -> bytes:
+    flat = np.concatenate(
+        [np.asarray(a, np.float32).reshape(-1) for a in arrays])
+    out = _HDR.pack(msg_type, robot, flat.size) + flat.tobytes()
+    if len(out) > MAX_DATAGRAM:
+        raise ValueError(
+            f"message {len(out)} B exceeds datagram bound {MAX_DATAGRAM}")
+    return out
+
+
+def _unpack(buf: bytes) -> Tuple[int, int, np.ndarray]:
+    t, robot, count = _HDR.unpack_from(buf, 0)
+    flat = np.frombuffer(buf, np.float32, count, _HDR.size)
+    return t, robot, flat
+
+
+def encode(msg: Union[Combo, ClosureList, StarMsg],
+           robot: int = -1) -> bytes:
+    """Serialize one message (float32 wire, like the reference)."""
+    if isinstance(msg, Combo):
+        return _pack(TYPE_COMBO, int(msg.robot),
+                     np.asarray(msg.poses), np.asarray(msg.idxs),
+                     np.asarray(msg.valid), np.asarray(msg.ranges))
+    if isinstance(msg, ClosureList):
+        return _pack(TYPE_CLOSURES, robot,
+                     np.asarray(msg.idxs), np.asarray(msg.valid))
+    if isinstance(msg, StarMsg):
+        return _pack(TYPE_CONDENSED, robot,
+                     np.asarray(msg.gauge)[None], np.asarray(msg.boundary),
+                     np.asarray(msg.z), np.asarray(msg.info),
+                     np.asarray(msg.valid))
+    raise TypeError(type(msg))
+
+
+def decode(buf: bytes, beams: int | None = None
+           ) -> Tuple[int, Union[Combo, ClosureList, StarMsg]]:
+    """Deserialize; returns (sender robot id, message). ``beams`` is the
+    scan length for Combo payloads (receiver-known geometry, as in the
+    reference where LaserParameters are captured at init)."""
+    import jax.numpy as jnp
+
+    t, robot, flat = _unpack(buf)
+    if t == TYPE_COMBO:
+        c = (flat.size - beams) // 5  # poses 3C + idxs C + valid C
+        p = 3 * c
+        poses = flat[:p].reshape(c, 3)
+        idxs = flat[p:p + c].astype(np.int32)
+        valid = flat[p + c:p + 2 * c] > 0.5
+        ranges = flat[p + 2 * c:]
+        return robot, Combo(robot=jnp.asarray(robot, jnp.int32),
+                            poses=jnp.asarray(poses),
+                            idxs=jnp.asarray(idxs),
+                            valid=jnp.asarray(valid),
+                            ranges=jnp.asarray(ranges))
+    if t == TYPE_CLOSURES:
+        half = flat.size // 2
+        return robot, ClosureList(
+            idxs=jnp.asarray(flat[:half].astype(np.int32)),
+            valid=jnp.asarray(flat[half:] > 0.5))
+    if t == TYPE_CONDENSED:
+        k = (flat.size - 1) // 11  # gauge 1 + K(1 + 3 + 6 + 1)
+        gauge = flat[0].astype(np.int32)
+        o = 1
+        boundary = flat[o:o + k].astype(np.int32)
+        o += k
+        z = flat[o:o + 3 * k].reshape(k, 3)
+        o += 3 * k
+        info = flat[o:o + 6 * k].reshape(k, 6)
+        o += 6 * k
+        valid = flat[o:o + k] > 0.5
+        return robot, StarMsg(gauge=jnp.asarray(gauge),
+                              boundary=jnp.asarray(boundary),
+                              z=jnp.asarray(z), info=jnp.asarray(info),
+                              valid=jnp.asarray(valid))
+    raise ValueError(f"unknown message type {t}")
