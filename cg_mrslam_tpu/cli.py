@@ -139,6 +139,10 @@ def cmd_srslam(argv):
             print("vertex capacity reached; stopping")
             break
     _save_outputs(a.o, slam.state, cfg, a)
+    import json
+    summary = slam.metrics.summary()
+    slam.metrics.to_jsonl(f"robot-0-{a.o}-metrics.jsonl")
+    print("metrics:", json.dumps(summary))
 
 
 def cmd_cg_mrslam(argv):

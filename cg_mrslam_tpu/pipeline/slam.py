@@ -333,12 +333,15 @@ class SingleRobotSlam:
     def __init__(self, cfg: Config, beams: int, initial_pose, ranges,
                  fov: float, max_range: float,
                  laser_offset=(0.0, 0.0, 0.0)):
+        from cg_mrslam_tpu.utils.metrics import Recorder
+
         self.cfg = cfg
         self.state = init_state(cfg, beams, initial_pose, ranges, fov,
                                 max_range, laser_offset)
         self._est = np.asarray(initial_pose, np.float64)
         self._kf_est = self._est.copy()
         self.infos: list = []
+        self.metrics = Recorder()
 
     def observe(self, rel_odom, ranges) -> bool:
         """Feed one odometry increment + scan; returns True when a
@@ -355,10 +358,15 @@ class SingleRobotSlam:
         if (np.hypot(*dx) <= self.cfg.slam.linear_update
                 and abs(dth) <= self.cfg.slam.angular_update):
             return False
-        self.state, info = keyframe_step(
-            self.state, jnp.asarray(self._est, jnp.float32),
-            jnp.asarray(ranges, jnp.float32), self.cfg)
+        with self.metrics.timer("keyframe_latency"):
+            self.state, info = keyframe_step(
+                self.state, jnp.asarray(self._est, jnp.float32),
+                jnp.asarray(ranges, jnp.float32), self.cfg)
+            info = jax.tree_util.tree_map(np.asarray, info)
         self.infos.append(info)
+        self.metrics.log("chi2", float(info.chi2))
+        self.metrics.log("closures_added", int(info.closures_added))
+        self.metrics.log("sm_accepted", int(info.sm_accepted))
         # re-anchor dead reckoning on the optimized pose
         self._est = np.asarray(info.pose, np.float64)
         self._kf_est = self._est.copy()
