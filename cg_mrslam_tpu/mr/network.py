@@ -52,3 +52,44 @@ def inject_drops(mask: jax.Array, key: jax.Array,
     silently drops — the protocol must converge regardless)."""
     keep = jax.random.bernoulli(key, 1.0 - drop_prob, mask.shape)
     return mask & keep
+
+
+class PingLog:
+    """Connectivity beacon record/replay — the ``comm_publisher`` node +
+    BAG modality (``/root/reference/src/comm_publisher.cpp:29-129``
+    broadcasts "I am robot N" every 250 ms and publishes a Ping message
+    per reception; BAG runs replay those pings to reconstruct who could
+    talk to whom, ``graph_comm.cpp:88-98``).
+
+    ``record(t, i, j)`` logs that robot ``i`` heard robot ``j`` at time
+    ``t``; :meth:`connectivity` replays the log into a mask for any time.
+    """
+
+    def __init__(self, n_robots: int):
+        self.n = n_robots
+        self.events: list[tuple[float, int, int]] = []
+
+    def record(self, t: float, hearer: int, sender: int) -> None:
+        self.events.append((float(t), int(hearer), int(sender)))
+
+    def record_from_positions(self, t: float, positions,
+                              comm_range: float = 5.0) -> None:
+        """Beacon emulation: every pair in radio range pings (what the
+        comm_publisher produces when run alongside a real experiment)."""
+        import numpy as np
+
+        pos = np.asarray(positions)
+        for i in range(self.n):
+            for j in range(self.n):
+                if i != j and np.hypot(*(pos[i] - pos[j])) < comm_range:
+                    self.record(t, i, j)
+
+    def connectivity(self, t: float, timeout: float = 10.0) -> jax.Array:
+        """BAG-modality mask at time ``t``: ping age < timeout."""
+        import numpy as np
+
+        age = np.full((self.n, self.n), np.inf)
+        for (ts, i, j) in self.events:
+            if ts <= t:
+                age[i, j] = min(age[i, j], t - ts)
+        return bag_connectivity(jnp.asarray(age, jnp.float32), timeout)

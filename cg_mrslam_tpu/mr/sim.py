@@ -56,6 +56,11 @@ class MultiRobotSim:
         self._kf_est = [e.copy() for e in self._est]
         self.kf_gt = [[t.gt[0]] for t in self.trajs]
         self.closure_stats = np.zeros(self.R, np.int64)
+        # fault injection: per-round probability of dropping a live link
+        # (the reference's UDP drops silently; the protocol must converge)
+        self.drop_prob = 0.0
+        self._drop_rng = np.random.default_rng(seed + 999)
+        self.ping_log = None  # NET.PingLog for bag modality
 
     def _dead_reckon(self, r: int, rel):
         e = self._est[r]
@@ -101,11 +106,20 @@ class MultiRobotSim:
 
     def connectivity(self, t: int, modality: str) -> np.ndarray:
         if modality == "real":
-            return np.asarray(NET.real_connectivity(self.R))
-        gt_pos = np.stack([tr.gt[min(t, len(tr.gt) - 1), :2]
-                           for tr in self.trajs])
-        return np.asarray(NET.sim_connectivity(
-            jnp.asarray(gt_pos, jnp.float32), cfg_range(self.cfg)))
+            conn = np.asarray(NET.real_connectivity(self.R))
+        elif modality == "bag":
+            assert self.ping_log is not None, "bag modality needs a PingLog"
+            conn = np.asarray(self.ping_log.connectivity(
+                float(t), self.cfg.mr.ping_timeout))
+        else:
+            gt_pos = np.stack([tr.gt[min(t, len(tr.gt) - 1), :2]
+                               for tr in self.trajs])
+            conn = np.asarray(NET.sim_connectivity(
+                jnp.asarray(gt_pos, jnp.float32), cfg_range(self.cfg)))
+        if self.drop_prob > 0.0:
+            conn = conn & (self._drop_rng.random(conn.shape)
+                           >= self.drop_prob)
+        return conn
 
     def exchange_round(self, t: int, modality: str = "sim"):
         """One synchronous message round between all connected pairs."""
