@@ -114,6 +114,8 @@ def _save_outputs(name: str, slam_state, cfg, a, robot_id: int = 0):
 def cmd_srslam(argv):
     p = argparse.ArgumentParser(prog="srslam")
     _common_flags(p)
+    p.add_argument("--load", default=None,
+                   help="resume from a .g2o checkpoint")
     a = p.parse_args(argv)
 
     from cg_mrslam_tpu.pipeline.slam import SingleRobotSlam
@@ -126,8 +128,13 @@ def cmd_srslam(argv):
     traj = W.simulate_robot(world, wps, seed=a.seed + 1, beams=a.beams,
                             fov=fov, max_range=a.max_range,
                             odom_noise=tuple(a.odom_noise))
-    slam = SingleRobotSlam(cfg, a.beams, traj.gt[0], traj.ranges[0], fov,
-                           a.max_range)
+    if a.load:
+        slam = SingleRobotSlam.resume(cfg, a.load)
+        print(f"resumed from {a.load}: "
+              f"{int(slam.state.graph.n_vertices)} vertices")
+    else:
+        slam = SingleRobotSlam(cfg, a.beams, traj.gt[0], traj.ranges[0],
+                               fov, a.max_range)
     T = len(traj.gt) if not a.ticks else min(a.ticks, len(traj.gt))
     for t in range(1, T):
         if slam.observe(traj.rel_odom[t - 1], traj.ranges[t]):

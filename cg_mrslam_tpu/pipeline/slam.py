@@ -326,6 +326,34 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
     return state, info_out
 
 
+def state_from_g2o(cfg: Config, path: str, my_id: int = 0) -> SlamState:
+    """Resume: rebuild a SlamState from a saved ``.g2o`` checkpoint
+    (the reference's ``loadGraph``, ``graph_slam.cpp:625-628``, which no
+    CLI path ever calls — here it is the real resume path). Vertex
+    ownership is recovered from the id namespacing
+    ``id = runningId + robotId·baseId``."""
+    from cg_mrslam_tpu.io import g2o
+
+    loaded = g2o.load(path, max_vertices=cfg.max_vertices,
+                      max_edges=cfg.max_edges)
+    if loaded.scans is None:
+        raise ValueError(f"{path} carries no ROBOTLASER1 scans")
+    ids = loaded.ids
+    v_owner = np.where(ids >= 0, ids // cfg.slam.base_id, my_id)
+    v_remote = np.where(ids >= 0, ids % cfg.slam.base_id, -1)
+    buf = CL.empty(cfg.slam.window_loop_closure * MAX_REGIONS)
+    g = loaded.graph
+    # edges reload as owner 0/level 0 (the .g2o format does not carry
+    # them); attribute them to their lower-id endpoint's owner
+    e_owner = np.asarray(v_owner)[np.asarray(g.e_ij)[:, 0]]
+    g = dataclasses.replace(g, e_owner=jnp.asarray(e_owner, jnp.int32))
+    return SlamState(
+        graph=g, scans=loaded.scans, buffer=buf,
+        my_id=jnp.asarray(my_id, jnp.int32),
+        v_owner=jnp.asarray(v_owner, jnp.int32),
+        v_remote=jnp.asarray(v_remote, jnp.int32))
+
+
 class SingleRobotSlam:
     """Host-side driver: dead-reckoning + keyframe gate around the jitted
     step (the reference's ``srslam.cpp`` main loop)."""
@@ -342,6 +370,23 @@ class SingleRobotSlam:
         self._kf_est = self._est.copy()
         self.infos: list = []
         self.metrics = Recorder()
+
+    @classmethod
+    def resume(cls, cfg: Config, path: str, my_id: int = 0
+               ) -> "SingleRobotSlam":
+        """Continue a run from a ``.g2o`` checkpoint."""
+        self = cls.__new__(cls)
+        from cg_mrslam_tpu.utils.metrics import Recorder
+
+        self.cfg = cfg
+        self.state = state_from_g2o(cfg, path, my_id)
+        slots, _ = newest_own(self.state, 1)
+        last = np.asarray(self.state.graph.poses[slots[0]], np.float64)
+        self._est = last
+        self._kf_est = last.copy()
+        self.infos = []
+        self.metrics = Recorder()
+        return self
 
     def observe(self, rel_odom, ranges) -> bool:
         """Feed one odometry increment + scan; returns True when a
