@@ -48,6 +48,25 @@ def _kernel_patch(kernel_radius: float, resolution: float):
     return jnp.minimum(d, kernel_radius), r_cells
 
 
+@partial(jax.jit, static_argnames=("cells", "resolution"))
+def subsample(points: jax.Array, valid: jax.Array, center: jax.Array, *,
+              cells: int, resolution: float) -> jax.Array:
+    """Keep ≤1 point per grid cell: returns a reduced valid mask
+    (reference ``CharGrid::subsample``, ``chargrid.cpp:98-122``, which
+    thins dense clouds before rasterization). Since :func:`build_grid`
+    snaps points to cells, the subsampled set produces an identical
+    grid with fewer scatter elements."""
+    cell = world_to_cell(points, center, cells, resolution)
+    cid = jnp.where(valid, cell[:, 1] * cells + cell[:, 0], -1)
+    order = jnp.argsort(cid)
+    sorted_cid = cid[order]
+    first = sorted_cid != jnp.roll(sorted_cid, 1)
+    first = first.at[0].set(True)
+    keep_sorted = first & (sorted_cid >= 0)
+    keep = jnp.zeros_like(valid).at[order].set(keep_sorted)
+    return keep
+
+
 @partial(jax.jit, static_argnames=("cells", "resolution", "kernel_radius"))
 def build_grid(points: jax.Array, valid: jax.Array, center: jax.Array, *,
                cells: int, resolution: float,

@@ -58,8 +58,14 @@ def build_normal_equations(
 ) -> NormalEq:
     """Assemble H = Σ JᵀΩJ and b = Σ JᵀΩe over active edges.
 
-    One vectorized linearization + one scatter-add of all 4·E 3×3 blocks;
-    replaces g2o's per-edge ``constructQuadraticForm`` virtual dispatch.
+    TPU-shaped assembly: instead of scatter-adding 4·E 3×3 blocks (TPU
+    scatters with duplicate indices serialize — measured 65% of solve
+    time), contributions are accumulated with one-hot selection matmuls:
+    ``H[n,i,m,j] = Σ_e O_a[e,n]·Hab[e,i,j]·O_b[e,m]`` is nine [N,E]×[E,N]
+    matmuls per block pair — pure MXU work. This replaces g2o's per-edge
+    ``constructQuadraticForm`` virtual dispatch. Fine for the dense-solver
+    regime (N ≤ ~1k, where O[E,N] is small); the large-graph PCG path
+    keeps scatter-based products (O(E) memory, no [E,N] blowup).
     """
     n = g.poses.shape[0]
     emask_b = g.emask if edge_mask is None else edge_mask
@@ -78,24 +84,19 @@ def build_normal_equations(
     bj = jnp.einsum("eil,el->ei", JjT_O, e)
 
     vi, vj = g.e_ij[:, 0], g.e_ij[:, 1]
+    Oi = jax.nn.one_hot(vi, n, dtype=g.poses.dtype)  # [E, N]
+    Oj = jax.nn.one_hot(vj, n, dtype=g.poses.dtype)
 
-    # Scatter the 4 blocks per edge into dense H with one indexed add.
-    blk_r = jnp.stack([vi, vi, vj, vj], axis=1)  # [E,4] block-row vertex
-    blk_c = jnp.stack([vi, vj, vi, vj], axis=1)  # [E,4] block-col vertex
-    vals = jnp.stack(
-        [Hii, Hij, jnp.swapaxes(Hij, -1, -2), Hjj], axis=1
-    )  # [E,4,3,3]
+    Hb = (
+        jnp.einsum("en,eij,em->nimj", Oi, Hii, Oi)
+        + jnp.einsum("en,eij,em->nimj", Oi, Hij, Oj)
+        + jnp.einsum("en,eij,em->njmi", Oj, Hij, Oi)
+        + jnp.einsum("en,eij,em->nimj", Oj, Hjj, Oj)
+    )
+    H = Hb.reshape(3 * n, 3 * n)
 
-    off = jnp.arange(3, dtype=jnp.int32)
-    rows = (3 * blk_r)[:, :, None, None] + off[None, None, :, None]  # [E,4,3,1]
-    cols = (3 * blk_c)[:, :, None, None] + off[None, None, None, :]  # [E,4,1,3]
-    rows, cols = jnp.broadcast_arrays(rows, cols)  # both [E,4,3,3]
-    H = jnp.zeros((3 * n, 3 * n), g.poses.dtype)
-    H = H.at[rows.reshape(-1), cols.reshape(-1)].add(vals.reshape(-1))
-
-    b = jnp.zeros((3 * n,), g.poses.dtype)
-    bidx = (3 * jnp.stack([vi, vj], 1))[:, :, None] + off[None, None, :]
-    b = b.at[bidx.reshape(-1)].add(jnp.stack([bi, bj], 1).reshape(-1))
+    bv = jnp.einsum("en,ei->ni", Oi, bi) + jnp.einsum("en,ei->ni", Oj, bj)
+    b = bv.reshape(3 * n)
 
     free3 = jnp.repeat(_free_mask(g, emask_b), 3).astype(g.poses.dtype)
     return NormalEq(H=H, b=b, free3=free3)

@@ -46,6 +46,29 @@ def test_grid_matches_bruteforce():
     np.testing.assert_allclose(g, ref, atol=1e-6)
 
 
+def test_subsample_preserves_grid():
+    from cg_mrslam_tpu.matcher.grid import subsample
+
+    rng = np.random.default_rng(1)
+    # clustered points: many land in the same cells
+    pts = np.repeat(rng.uniform(-3, 3, (30, 2)), 4, axis=0).astype(
+        np.float32) + rng.normal(0, 0.005, (120, 2)).astype(np.float32)
+    valid = np.ones(120, bool)
+    valid[-7:] = False
+    cfg = MatcherConfig(extent=10.0, resolution=0.1, kernel_radius=0.3)
+    center = jnp.zeros(2)
+    keep = subsample(jnp.asarray(pts), jnp.asarray(valid), center,
+                     cells=cfg.cells, resolution=cfg.resolution)
+    assert int(keep.sum()) < valid.sum()
+    g_full = build_grid(jnp.asarray(pts), jnp.asarray(valid), center,
+                        cells=cfg.cells, resolution=cfg.resolution,
+                        kernel_radius=cfg.kernel_radius)
+    g_sub = build_grid(jnp.asarray(pts), keep, center, cells=cfg.cells,
+                       resolution=cfg.resolution,
+                       kernel_radius=cfg.kernel_radius)
+    np.testing.assert_allclose(np.asarray(g_sub), np.asarray(g_full))
+
+
 def _scene():
     w = W.hospital_world(seed=1)
     segs = w.as_jax()
