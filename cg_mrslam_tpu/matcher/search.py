@@ -18,6 +18,7 @@ gathers — one fused device program per search, no host loops:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -67,6 +68,35 @@ def score_volume(grid: jax.Array, center: jax.Array, resolution: float,
         return jnp.sum(v * w, axis=0) / count                    # [Dy,Dx]
 
     return jax.lax.map(per_theta, thetas)                        # [T,Dy,Dx]
+
+
+def _use_pallas() -> bool:
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("CG_MRSLAM_PALLAS", "1") != "0")
+
+
+def score_volume_auto(grid, center, resolution, points, valid, base,
+                      thetas, ty_cells, tx_cells, *,
+                      step1: bool) -> jax.Array:
+    """Backend dispatch for the score volume.
+
+    On TPU, step-1 (contiguous) lattices use the Pallas
+    patch-accumulation kernel (`ops/correlate.py`): measured on a real
+    v5e chip it runs the close-match volume (65×25×25 lattice × 1024
+    points, 1200² grid) in **9.5 ms vs 426 ms** for the jitted XLA
+    gather path — the gather's random access defeats XLA's VMEM
+    staging, while the kernel's aligned full-width tile fetches keep
+    the VPU busy despite their (dyp+8)(dxp+128)/(dy·dx) padding tax.
+    Set ``CG_MRSLAM_PALLAS=0`` to force the XLA path (also used on
+    CPU and for strided coarse lattices, where patch fetches don't
+    apply). ``step1`` must be a Python bool (trace-time dispatch)."""
+    if _use_pallas() and step1:
+        from cg_mrslam_tpu.ops.correlate import pallas_score_volume
+
+        return pallas_score_volume(grid, center, resolution, points,
+                                   valid, base, thetas, ty_cells, tx_cells)
+    return score_volume(grid, center, resolution, points, valid, base,
+                        thetas, ty_cells, tx_cells)
 
 
 def volume_topk(scores: jax.Array, base: jax.Array, thetas: jax.Array,
@@ -145,8 +175,8 @@ def grid_search(grid: jax.Array, center: jax.Array, resolution: float,
                     int(round(y_span / resolution)) + 1, dtype=jnp.int32)
     tx = jnp.arange(-int(round(x_span / resolution)),
                     int(round(x_span / resolution)) + 1, dtype=jnp.int32)
-    raw = score_volume(grid, center, resolution, points, valid, base,
-                       thetas, ty, tx)
+    raw = score_volume_auto(grid, center, resolution, points, valid, base,
+                            thetas, ty, tx, step1=True)
     scores = raw + _offset_penalty(thetas, ty, tx, resolution, prior_weight)
     return volume_topk(scores, base, thetas, ty, tx, resolution, topk,
                        report=raw)
@@ -177,9 +207,12 @@ def hierarchical_search(grid: jax.Array, center: jax.Array,
         nx = max(1, int(round(x_sp / (resolution * cell_step))))
         ty = jnp.arange(-ny, ny + 1, dtype=jnp.int32) * cell_step
         tx = jnp.arange(-nx, nx + 1, dtype=jnp.int32) * cell_step
-        raw = score_volume(grid, center, resolution, points, valid,
-                           jnp.stack([b[0], b[1], jnp.float32(0.0)]),
-                           thetas, ty, tx)
+        # always the XLA path: refine levels run under vmap with tiny
+        # (≤3×3×3) windows where the Pallas kernel has no advantage, and
+        # the coarse level is stride>1 (unsupported by the patch kernel)
+        raw = score_volume_auto(grid, center, resolution, points, valid,
+                                jnp.stack([b[0], b[1], jnp.float32(0.0)]),
+                                thetas, ty, tx, step1=False)
         scores = raw + _offset_penalty(rel, ty, tx, resolution, TIEBREAK)
         return volume_topk(scores, jnp.stack([b[0], b[1], 0.0]), thetas,
                            ty, tx, resolution, k, report=raw)

@@ -1,0 +1,180 @@
+"""Pallas TPU kernel for the correlative scan-match score volume.
+
+This is hot loop #1 of the reference (`/root/reference/src/matcher/
+chargrid.cpp:208-308` ``greedySearch``: score every (x, y, θ) pose of a
+region on the distance grid, OpenMP over 4 threads). The XLA fallback
+(:func:`cg_mrslam_tpu.matcher.search.score_volume`) expresses it as a
+[P, Dy, Dx] gather per θ — random access the TPU memory system serves
+one element at a time. This kernel restructures the work to match the
+hardware:
+
+* the whole distance grid lives in **VMEM** for the entire search (close
+  matcher: 1200² f32 ≈ 5.8 MB, LC matcher 700² ≈ 2 MB — both fit), so
+  every access is on-chip;
+* the Dy×Dx translation lattice is *contiguous in grid cells*, so the
+  per-point score contribution is one dense **[DY, DX] patch slice** of
+  the grid anchored at that point's cell — a full-width vector load per
+  point instead of Dy·Dx scattered gathers;
+* the score volume accumulates in a VMEM scratch tile; one pallas grid
+  step per θ (rotation applied once per θ, like the reference's per-θ
+  point transform at ``chargrid.cpp:236-258``). Point→cell indices are
+  precomputed for all θ by fused XLA (tiny [T, P] trig) and land in SMEM
+  so the kernel's inner loop is pure scalar-indexed vector adds.
+
+Semantics match ``score_volume`` exactly (same consecutive-duplicate-cell
+dedup, same out-of-grid → 0 contribution with full-count normalization —
+guaranteed by zero margins at least one patch wide on every side, so any
+clamped anchor reads only padding). A parity test runs this kernel in
+interpret mode on CPU against the XLA path. Only step-1 (finest-level)
+lattices use it — coarse strided levels of the hierarchical search stay
+on the XLA path where the gather volume is small.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+_TCHUNK = 8  # θs per program — Mosaic wants SMEM sublane blocks of 8
+
+
+def _make_kernel(dyp: int, dxp: int, n_points: int):
+    """Mosaic only lowers *aligned* dynamic slices (sublane start %8,
+    lane start %128), so each patch is fetched as the enclosing aligned
+    [dyp+8, dxp+128] tile and realigned in-register with two dynamic
+    rolls — the load and rolls are all full-width VPU ops."""
+    dy2, dx2 = dyp + 8, dxp + 128
+
+    def kernel(iy0_ref, ix0_ref, count_ref, grid_ref, out_ref, acc_ref):
+        for tt in range(_TCHUNK):
+            acc_ref[:] = jnp.zeros((dy2, dx2), jnp.float32)
+
+            def body(p, _, tt=tt):
+                y0 = iy0_ref[tt, p]
+                x0 = ix0_ref[tt, p]
+                ya = (y0 // 8) * 8
+                xa = (x0 // 128) * 128
+                tile = grid_ref[pl.ds(ya, dy2), pl.ds(xa, dx2)]
+                tile = pltpu.roll(tile, dy2 - (y0 - ya), 0)
+                tile = pltpu.roll(tile, dx2 - (x0 - xa), 1)
+                acc_ref[:, :] += tile
+                return _
+
+            jax.lax.fori_loop(0, n_points, body, 0)
+            out_ref[tt] = acc_ref[:dyp, :dxp] / count_ref[tt, 0]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("resolution", "n_theta", "ry", "rx", "interpret"),
+)
+def _pallas_volume(grid, center, points, valid, base, thetas, *,
+                   resolution, n_theta, ry, rx, interpret):
+    cells = grid.shape[0]
+    dy, dx = 2 * ry + 1, 2 * rx + 1
+    dyp = _round_up(dy, 8)
+    dxp = _round_up(dx, 128)
+    my = dyp            # zero margin ≥ one patch: clamped reads stay in it
+    mx = dxp
+    # +8 rows / +128 lanes: aligned tile fetches overshoot the anchor by
+    # up to one alignment quantum past the clip limit
+    hp = cells + 2 * my + 8
+    wp = _round_up(cells + 2 * mx, 128) + 128
+
+    g = jnp.zeros((hp, wp), jnp.float32)
+    g = g.at[my:my + cells, mx:mx + cells].set(grid.astype(jnp.float32))
+
+    # --- XLA-side index precompute: cells of every point under every θ ---
+    ang = base[2] + thetas.astype(jnp.float32)            # [T]
+    c, s = jnp.cos(ang)[:, None], jnp.sin(ang)[:, None]   # [T,1]
+    px = points[:, 0].astype(jnp.float32)[None, :]        # [1,P]
+    py = points[:, 1].astype(jnp.float32)[None, :]
+    wx = c * px - s * py + base[0]
+    wy = s * px + c * py + base[1]
+    half = cells / 2.0
+    ix = jnp.floor((wx - center[0]) / resolution + half).astype(jnp.int32)
+    iy = jnp.floor((wy - center[1]) / resolution + half).astype(jnp.int32)
+
+    # consecutive-duplicate-cell dedup (reference chargrid.cpp:242-258)
+    same = (ix == jnp.roll(ix, 1, 1)) & (iy == jnp.roll(iy, 1, 1))
+    same = same.at[:, 0].set(False)
+    keep = valid[None, :] & ~same                          # [T,P]
+    count = jnp.maximum(jnp.sum(keep, axis=1), 1).astype(jnp.float32)
+
+    iy0 = jnp.clip(iy - ry + my, 0, hp - dyp - 8)
+    ix0 = jnp.clip(ix - rx + mx, 0, wp - dxp - 128)
+    # skipped points read the all-zero corner and contribute nothing
+    iy0 = jnp.where(keep, iy0, 0)
+    ix0 = jnp.where(keep, ix0, 0)
+
+    p = points.shape[0]
+    tp = _round_up(n_theta, _TCHUNK)
+    pad_t = [(0, tp - n_theta), (0, 0)]
+    iy0 = jnp.pad(iy0, pad_t)          # padded θs read the zero corner
+    ix0 = jnp.pad(ix0, pad_t)
+    count = jnp.pad(count, (0, tp - n_theta), constant_values=1.0)
+
+    out = pl.pallas_call(
+        _make_kernel(dyp, dxp, p),
+        grid=(tp // _TCHUNK,),
+        in_specs=[
+            pl.BlockSpec((_TCHUNK, p), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),          # iy0
+            pl.BlockSpec((_TCHUNK, p), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),          # ix0
+            pl.BlockSpec((_TCHUNK, 1), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),          # count
+            pl.BlockSpec((hp, wp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),          # grid (resident)
+        ],
+        out_specs=pl.BlockSpec((_TCHUNK, dyp, dxp), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, dyp, dxp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((dyp + 8, dxp + 128), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=tp * p * dyp * dxp,
+            bytes_accessed=tp * p * dyp * dxp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(iy0, ix0, count[:, None], g)
+    return out[:n_theta, :dy, :dx]
+
+
+def pallas_score_volume(grid: jax.Array, center: jax.Array,
+                        resolution: float, points: jax.Array,
+                        valid: jax.Array, base: jax.Array,
+                        thetas: jax.Array, ty_cells, tx_cells, *,
+                        interpret: bool = False) -> jax.Array:
+    """Drop-in for :func:`matcher.search.score_volume` on step-1 lattices.
+
+    ``ty_cells``/``tx_cells`` must be contiguous symmetric ranges
+    ``[-r..r]`` (their lengths fix the static patch shape).
+    """
+    ry = (len(ty_cells) - 1) // 2
+    rx = (len(tx_cells) - 1) // 2
+    return _pallas_volume(
+        grid, center, points, valid, base, thetas,
+        resolution=float(resolution), n_theta=len(thetas),
+        ry=ry, rx=rx, interpret=interpret)
+
+
+def lattice_is_contiguous(cells_arr) -> bool:
+    """True when a translation lattice is a step-1 symmetric range."""
+    a = np.asarray(cells_arr)
+    if a.ndim != 1 or len(a) % 2 == 0:
+        return False
+    r = (len(a) - 1) // 2
+    return bool(np.array_equal(a, np.arange(-r, r + 1)))
