@@ -75,31 +75,56 @@ def build_grid(points: jax.Array, valid: jax.Array, center: jax.Array, *,
 
     Invalid points contribute the neutral far value (= kernel_radius);
     points outside the grid are clipped into a padding margin that is
-    sliced away, so they cannot corrupt interior cells. One scatter-min of
-    ``P·K·K`` values — the whole reference-``addAndConvolvePoints`` loop
-    as a single XLA op.
+    sliced away, so they cannot corrupt interior cells.
+
+    TPU realisation: a capped Euclidean distance transform computed
+    **separably** — rasterize the points into an occupancy mask (one
+    P-element scatter), then squared column distances (2r+1 shifted
+    selects/mins down the rows) followed by squared row distances
+    (2r+1 shifted adds/mins across the columns):
+
+        d²[y,x] = min_dx ( colmin²[y, x+dx] + (dx·res)² )
+
+    Every pass is full-width dense VPU work. The earlier direct
+    formulation — one scatter-min of P·K² radial-patch values — left 46 ms
+    on a real v5e chip at close-matcher shape (1200², K=17): TPU scatters
+    with duplicate indices serialize. The two formulations are exactly
+    equal: any cell within ``kernel_radius`` of a point lies inside that
+    point's ±r patch box, and both cap at ``kernel_radius``.
     """
-    patch, r_cells = _kernel_patch(kernel_radius, resolution)
-    k = 2 * r_cells + 1
-    pad = 2 * k  # clipped out-of-grid patches land ≥ K cells from interior
+    _, r_cells = _kernel_patch(kernel_radius, resolution)
+    pad = r_cells + 1  # out-of-grid points may still shade interior cells
     far = kernel_radius
+    big = jnp.float32((kernel_radius * 4.0) ** 2)
 
     cell = world_to_cell(points, center, cells, resolution)  # [P,2] (ix,iy)
-    ix = jnp.clip(cell[:, 0] - r_cells + pad, 0, cells + 2 * pad - k)
-    iy = jnp.clip(cell[:, 1] - r_cells + pad, 0, cells + 2 * pad - k)
-    # mark points that were actually inside (clip of the *unshifted* index)
     inside = (
-        (cell[:, 0] >= -r_cells) & (cell[:, 0] < cells + r_cells)
-        & (cell[:, 1] >= -r_cells) & (cell[:, 1] < cells + r_cells)
+        (cell[:, 0] >= -pad) & (cell[:, 0] < cells + pad)
+        & (cell[:, 1] >= -pad) & (cell[:, 1] < cells + pad)
     )
     use = valid & inside
+    c = cells + 2 * pad
+    ix = jnp.where(use, cell[:, 0] + pad, 0)
+    iy = jnp.where(use, cell[:, 1] + pad, 0)
+    occ = jnp.zeros((c, c), jnp.bool_).at[iy, ix].max(use)
 
-    oy = jnp.arange(k, dtype=jnp.int32)
-    rows = iy[:, None, None] + oy[None, :, None]          # [P,K,1]
-    cols = ix[:, None, None] + oy[None, None, :]          # [P,1,K]
-    rows, cols = jnp.broadcast_arrays(rows, cols)          # [P,K,K]
-    vals = jnp.where(use[:, None, None], patch[None], far)
+    # column pass: squared distance to nearest occupied cell in the same
+    # column within ±r rows
+    col = jnp.where(occ, jnp.float32(0.0), big)
+    dcol = col
+    for dy in range(1, r_cells + 1):
+        w = jnp.float32((dy * resolution) ** 2)
+        up = jnp.full_like(col, big).at[:-dy].set(col[dy:] + w)
+        dn = jnp.full_like(col, big).at[dy:].set(col[:-dy] + w)
+        dcol = jnp.minimum(dcol, jnp.minimum(up, dn))
 
-    g = jnp.full((cells + 2 * pad, cells + 2 * pad), far, jnp.float32)
-    g = g.at[rows.reshape(-1), cols.reshape(-1)].min(vals.reshape(-1))
+    # row pass: add squared horizontal offsets
+    d2 = dcol
+    for dx in range(1, r_cells + 1):
+        w = jnp.float32((dx * resolution) ** 2)
+        lf = jnp.full_like(dcol, big).at[:, :-dx].set(dcol[:, dx:] + w)
+        rt = jnp.full_like(dcol, big).at[:, dx:].set(dcol[:, :-dx] + w)
+        d2 = jnp.minimum(d2, jnp.minimum(lf, rt))
+
+    g = jnp.minimum(jnp.sqrt(d2), far)
     return g[pad:pad + cells, pad:pad + cells]

@@ -100,6 +100,7 @@ class StepInfo(NamedTuple):
     sm_accepted: jax.Array   # [] bool — close match used for the odom edge
     closures_added: jax.Array  # [] int32 — accepted loop closures this step
     chi2: jax.Array          # [] post-optimization chi2
+    n_edges: jax.Array       # [] int32 — live edges (host bucket mirror)
 
 
 def _diag_info(d) -> jax.Array:
@@ -322,8 +323,155 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
         pose=g.poses[cur], sm_accepted=sm_ok,
         closures_added=jnp.sum(vote.accept.astype(jnp.int32))
         + jnp.sum(direct.astype(jnp.int32)),
-        chi2=chi2(g))
+        chi2=chi2(g), n_edges=g.n_edges)
     return state, info_out
+
+
+# ---------------------------------------------------------------------------
+# Active-size bucketing
+#
+# The state has static capacity (cfg.max_vertices/max_edges) so steps never
+# recompile, but the dense solver is O(N³) in whatever N it is given: at
+# capacity 1024 one keyframe spent ~180 ms in Cholesky/assembly on a real
+# v5e even when only ~200 vertices were live. The fix is standard XLA
+# bucketing: run the step on a power-of-two slice of the state just big
+# enough for the live graph + one keyframe's worst-case growth, and splice
+# the result back. One recompile per bucket crossing (≤ log2(capacity)
+# times per run), >10× latency win early-to-mid run.
+# ---------------------------------------------------------------------------
+
+# Smallest bucket 256: at that size the dense solver costs ~1 ms on chip
+# (negligible next to dispatch overhead) and typical runs never cross a
+# bucket at all. Edge buckets are tied to 4×(vertex bucket) below so a
+# crossing happens only when the vertex count doubles — compiles stay rare
+# and the prewarmer has geometrically growing time to hide them.
+_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384)
+
+# outstanding bucket-prewarm compile threads; joined at interpreter exit —
+# tearing down the backend while a compile is in flight aborts the process
+_PREWARM_THREADS: list = []
+
+
+def _join_prewarm_threads() -> None:
+    for t in _PREWARM_THREADS:
+        t.join(timeout=120.0)
+    _PREWARM_THREADS.clear()
+
+
+import atexit  # noqa: E402  (colocated with the registry it guards)
+
+atexit.register(_join_prewarm_threads)
+
+
+def _bucket_for(need: int, cap: int) -> int:
+    for b in _BUCKETS:
+        if b >= need:
+            return min(b, cap)
+    return cap
+
+
+def _slice_state(state: SlamState, nb: int, eb: int) -> SlamState:
+    g = state.graph
+    g = dataclasses.replace(
+        g, poses=g.poses[:nb], vmask=g.vmask[:nb], fixed=g.fixed[:nb],
+        e_ij=g.e_ij[:eb], e_z=g.e_z[:eb], e_info=g.e_info[:eb],
+        emask=g.emask[:eb], e_level=g.e_level[:eb], e_owner=g.e_owner[:eb])
+    scans = dataclasses.replace(
+        state.scans, ranges=state.scans.ranges[:nb],
+        smask=state.scans.smask[:nb])
+    return dataclasses.replace(
+        state, graph=g, scans=scans,
+        v_owner=state.v_owner[:nb], v_remote=state.v_remote[:nb])
+
+
+def _merge_state(full: SlamState, part: SlamState) -> SlamState:
+    nb = part.graph.poses.shape[0]
+    eb = part.graph.e_ij.shape[0]
+    fg, pg = full.graph, part.graph
+    g = dataclasses.replace(
+        fg,
+        poses=fg.poses.at[:nb].set(pg.poses),
+        vmask=fg.vmask.at[:nb].set(pg.vmask),
+        fixed=fg.fixed.at[:nb].set(pg.fixed),
+        e_ij=fg.e_ij.at[:eb].set(pg.e_ij),
+        e_z=fg.e_z.at[:eb].set(pg.e_z),
+        e_info=fg.e_info.at[:eb].set(pg.e_info),
+        emask=fg.emask.at[:eb].set(pg.emask),
+        e_level=fg.e_level.at[:eb].set(pg.e_level),
+        e_owner=fg.e_owner.at[:eb].set(pg.e_owner),
+        n_vertices=pg.n_vertices, n_edges=pg.n_edges)
+    scans = dataclasses.replace(
+        full.scans,
+        ranges=full.scans.ranges.at[:nb].set(part.scans.ranges),
+        smask=full.scans.smask.at[:nb].set(part.scans.smask))
+    return dataclasses.replace(
+        full, graph=g, scans=scans, buffer=part.buffer,
+        v_owner=full.v_owner.at[:nb].set(part.v_owner),
+        v_remote=full.v_remote.at[:nb].set(part.v_remote))
+
+
+def _pack_info(i: StepInfo) -> jax.Array:
+    """StepInfo as one float32[7] so the host fetches it in ONE transfer
+    (n_edges is exact in float32 up to 2²⁴)."""
+    tail = jnp.stack([
+        i.sm_accepted.astype(jnp.float32),
+        i.closures_added.astype(jnp.float32),
+        i.chi2.astype(jnp.float32),
+        i.n_edges.astype(jnp.float32)])
+    return jnp.concatenate([i.pose.astype(jnp.float32), tail])
+
+
+def _unpack_info(v: np.ndarray) -> StepInfo:
+    return StepInfo(pose=v[:3], sm_accepted=bool(v[3]),
+                    closures_added=int(v[4]), chi2=float(v[5]),
+                    n_edges=int(v[6]))
+
+
+@partial(jax.jit, static_argnames=("cfg", "nb", "eb"))
+def _sliced_step(state: SlamState, est, ranges, cfg: Config,
+                 nb: int, eb: int):
+    """slice → keyframe_step → merge as ONE device program. Through the
+    remote-execution tunnel every dispatch is a ~30-40 ms round trip, so
+    fusing the bucket plumbing into the step jit (instead of three jits)
+    is a real latency lever, not a style choice."""
+    part, info = keyframe_step(_slice_state(state, nb, eb), est, ranges,
+                               cfg)
+    return _merge_state(state, part), _pack_info(info)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _full_step(state: SlamState, est, ranges, cfg: Config):
+    new_state, info = keyframe_step(state, est, ranges, cfg)
+    return new_state, _pack_info(info)
+
+
+def _bucket_pair(state: SlamState, n_live: int, e_live: int):
+    cap_n, cap_e = state.graph.capacity
+    grow_e = 1 + MAX_REGIONS + state.buffer.mask.shape[0]
+    nb = _bucket_for(n_live + 1, cap_n)
+    eb = _bucket_for(max(e_live + grow_e, 4 * nb), cap_e)
+    return nb, eb
+
+
+def keyframe_step_bucketed(state: SlamState, est, ranges, cfg: Config,
+                           n_live: int, e_live: int, compiled=None):
+    """:func:`keyframe_step` on the smallest power-of-two slice of the
+    state that fits the live graph plus this keyframe's worst-case growth
+    (1 vertex; 1 odometry edge + ``MAX_REGIONS`` direct edges + a full
+    closure-buffer flush). ``n_live``/``e_live`` are host-side ints;
+    ``est``/``ranges`` may be host numpy (the transfer rides the dispatch).
+    ``compiled`` is an optional {(nb, eb): AOT executable} cache filled by
+    the bucket prewarmer. Returns ``(new_state, StepInfo of host
+    scalars)`` after one fetch."""
+    cap_n, cap_e = state.graph.capacity
+    nb, eb = _bucket_pair(state, n_live, e_live)
+    if compiled and (nb, eb) in compiled:
+        new_state, packed = compiled[(nb, eb)](state, est, ranges)
+    elif nb >= cap_n and eb >= cap_e:
+        new_state, packed = _full_step(state, est, ranges, cfg)
+    else:
+        new_state, packed = _sliced_step(state, est, ranges, cfg, nb, eb)
+    return new_state, _unpack_info(np.asarray(packed))
 
 
 def state_from_g2o(cfg: Config, path: str, my_id: int = 0) -> SlamState:
@@ -370,6 +518,10 @@ class SingleRobotSlam:
         self._kf_est = self._est.copy()
         self.infos: list = []
         self.metrics = Recorder()
+        self._n_live, self._e_live = 1, 0  # host mirror for bucketing
+        self._warmed: set = set()
+        self._compiled: dict = {}
+        self._inflight: dict = {}
 
     @classmethod
     def resume(cls, cfg: Config, path: str, my_id: int = 0
@@ -386,6 +538,11 @@ class SingleRobotSlam:
         self._kf_est = last.copy()
         self.infos = []
         self.metrics = Recorder()
+        self._n_live = int(self.state.graph.n_vertices)
+        self._e_live = int(self.state.graph.n_edges)
+        self._warmed = set()
+        self._compiled = {}
+        self._inflight = {}
         return self
 
     def observe(self, rel_odom, ranges) -> bool:
@@ -403,19 +560,71 @@ class SingleRobotSlam:
         if (np.hypot(*dx) <= self.cfg.slam.linear_update
                 and abs(dth) <= self.cfg.slam.angular_update):
             return False
+        key = _bucket_pair(self.state, self._n_live, self._e_live)
+        if key not in self._compiled and key in self._inflight:
+            # a prewarm for exactly this bucket is in flight — waiting out
+            # its remainder beats recompiling the same program in parallel
+            self._inflight.pop(key).join()
         with self.metrics.timer("keyframe_latency"):
-            self.state, info = keyframe_step(
-                self.state, jnp.asarray(self._est, jnp.float32),
-                jnp.asarray(ranges, jnp.float32), self.cfg)
-            info = jax.tree_util.tree_map(np.asarray, info)
+            self.state, info = keyframe_step_bucketed(
+                self.state, np.asarray(self._est, np.float32),
+                np.asarray(ranges, np.float32), self.cfg,
+                self._n_live, self._e_live, compiled=self._compiled)
+        self._n_live += 1
+        self._e_live = info.n_edges
+        self._prewarm_next_bucket()
         self.infos.append(info)
-        self.metrics.log("chi2", float(info.chi2))
-        self.metrics.log("closures_added", int(info.closures_added))
+        self.metrics.log("chi2", info.chi2)
+        self.metrics.log("closures_added", info.closures_added)
         self.metrics.log("sm_accepted", int(info.sm_accepted))
         # re-anchor dead reckoning on the optimized pose
         self._est = np.asarray(info.pose, np.float64)
         self._kf_est = self._est.copy()
         return True
+
+    def _prewarm_next_bucket(self) -> None:
+        """Compile the NEXT bucket's step in a background thread before
+        the graph grows into it, so bucket crossings never stall a
+        keyframe (the first crossing otherwise costs a full trace+XLA
+        compile, measured ~18 s through the remote tunnel). Lowering uses
+        abstract shapes only; the AOT executable lands in
+        ``self._compiled`` and the crossing keyframe calls it directly —
+        no re-trace, no compile."""
+        import threading
+
+        cap_n, cap_e = self.state.graph.capacity
+        nb, eb = _bucket_pair(self.state, self._n_live, self._e_live)
+        # compiles take ~16 s through the remote tunnel while buckets are
+        # hundreds of keyframes apart — so the moment a bucket pair is in
+        # use, start compiling BOTH of its successors (vertex-count
+        # doubling and edge-count doubling)
+        succ = {(_bucket_for(nb + 1, cap_n),
+                 _bucket_for(max(eb, 4 * _bucket_for(nb + 1, cap_n)),
+                             cap_e)),
+                (nb, _bucket_for(eb + 1, cap_e))}
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state)
+        est = jax.ShapeDtypeStruct((3,), jnp.float32)
+        rng = jax.ShapeDtypeStruct(
+            (self.state.scans.ranges.shape[1],), jnp.float32)
+
+        for nxt in succ:
+            if nxt == (nb, eb) or nxt in self._warmed:
+                continue
+            self._warmed.add(nxt)
+
+            def work(nxt=nxt):
+                try:
+                    self._compiled[nxt] = _sliced_step.lower(
+                        abstract, est, rng, self.cfg,
+                        nb=nxt[0], eb=nxt[1]).compile()
+                except Exception:   # prewarm is best-effort
+                    pass
+
+            t = threading.Thread(target=work, daemon=True)
+            self._inflight[nxt] = t
+            _PREWARM_THREADS.append(t)
+            t.start()
 
     @property
     def poses(self) -> np.ndarray:
