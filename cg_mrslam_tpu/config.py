@@ -64,8 +64,9 @@ class SearchWindows:
     global_dy: float = 5.0
     global_th_res: float = 0.025  # finest θ step of hierarchical search
     global_levels: int = 4        # coarse-to-fine steps ×8,×4,×2,×1
-    # verifyMatching threshold: max unexplained reference points
-    verify_threshold: int = 40    # scan_matcher.cpp:499
+    # verifyMatching acceptance: box-mean of the unmatched-point distance
+    # grid ≤ threshold/kscale meters (scan_matcher.cpp:493-502; kscale=128)
+    verify_threshold: float = 40.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,6 +118,10 @@ class MRConfig:
     # global matching window: ±10 vertices around reference (21 total,
     # mr_graph_slam.cpp:172-213)
     global_match_window: int = 10
+    # visibility gate: require the peer's body to be visible in my scan
+    # at the claimed pose before accepting an inter-robot match
+    # (verifyMatching; off by default like mr_graph_slam.cpp:46)
+    detect_robot_in_range: bool = False
     # connectivity model (graph_comm.h:48-49, graph_comm.cpp:70-101)
     sim_comm_range: float = 5.0
     ping_timeout: float = 10.0

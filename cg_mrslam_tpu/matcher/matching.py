@@ -26,9 +26,10 @@ from cg_mrslam_tpu.config import MatcherConfig, SearchWindows
 from cg_mrslam_tpu.matcher.grid import build_grid
 from cg_mrslam_tpu.matcher.search import (
     SearchResult,
-    count_unmatched,
+    box_mean,
     grid_search,
     hierarchical_search,
+    unmatched_points,
 )
 
 
@@ -99,6 +100,34 @@ def loop_closure_match(ref_points: jax.Array, ref_valid: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("cfg", "windows"))
+def loop_closure_match_hierarchical(
+        ref_points: jax.Array, ref_valid: jax.Array,
+        cur_points: jax.Array, cur_valid: jax.Array,
+        guess: jax.Array, *, cfg: MatcherConfig,
+        windows: SearchWindows) -> Match:
+    """Alternative loop-closure mode (reference
+    ``scanMatchingLChierarchical``, ``scan_matcher.cpp:296-356``; the
+    reference keeps it selectable beside ``scanMatchingLC`` at ``:197``):
+    ONE coarse-to-fine search over a ±2 m × ±1 rad window around the
+    relative-pose guess, θ-res 0.025, 3 levels, on points subsampled to
+    0.1 m (``CharGrid::subsample`` semantics via the matcher grid cell
+    snap)."""
+    from cg_mrslam_tpu.matcher.grid import subsample
+
+    center = guess[:2]
+    grid = _grid(cfg, ref_points, ref_valid, center)
+    cur_valid = cur_valid & subsample(cur_points, cur_valid, center,
+                                      cells=cfg.cells, resolution=0.1)
+    res = hierarchical_search(
+        grid, center, cfg.resolution, cur_points, cur_valid, guess,
+        th_span=1.0, th_res=windows.lc_th_res,
+        x_span=2.0, y_span=2.0, levels=3,
+    )
+    return Match(pose=res.poses[0], score=res.scores[0],
+                 accepted=res.scores[0] < cfg.max_score)
+
+
+@partial(jax.jit, static_argnames=("cfg", "windows"))
 def global_match(ref_points: jax.Array, ref_valid: jax.Array,
                  cur_points: jax.Array, cur_valid: jax.Array,
                  guess: jax.Array, *, cfg: MatcherConfig,
@@ -122,17 +151,26 @@ def global_match(ref_points: jax.Array, ref_valid: jax.Array,
 def verify_match(map_points: jax.Array, map_valid: jax.Array,
                  my_points: jax.Array, my_valid: jax.Array,
                  other_position: jax.Array, *, cfg: MatcherConfig,
-                 threshold: int = 40) -> jax.Array:
-    """True if ≤ ``threshold`` of my points near the other robot's claimed
-    position are unexplained by its map (reference ``verifyMatching``
-    visibility gate, ``scan_matcher.cpp:463-502``). Both point sets are
-    already in MY world frame (the candidate closure transform applied to
-    the other robot's map)."""
+                 threshold: float = 40.0) -> jax.Array:
+    """Robot-in-range visibility gate (reference ``verifyMatching``,
+    ``scan_matcher.cpp:430-505``): is the peer robot's BODY visible in my
+    scan at its claimed position? My points unexplained by the peer's
+    static map (grid distance > 0.3 m, ``:466``) are rasterized into a
+    second distance grid; the mean of that grid over a ±0.3 m box around
+    the claimed position (``countPoints``, ``:493-497``) is LOW exactly
+    when unmatched returns — the robot body — cluster there. Detected ⇔
+    mean ≤ ``threshold``/kscale meters (reference compares the uint8
+    kscale=128 grid mean against 40 at ``:499-502``, i.e. 0.3125 m).
+    Both point sets are already in MY world frame (the candidate closure
+    transform applied to the peer's map)."""
     grid = _grid(cfg, map_points, map_valid, other_position)
     # grid values saturate at kernel_radius; the reference's 0.3 m cut
     # (scan_matcher.cpp:466) only discriminates on its 0.5 m LC kernel —
     # clamp below saturation so the gate works for any kernel radius
     thr = min(0.3, cfg.kernel_radius * 0.99)
-    n = count_unmatched(grid, other_position, cfg.resolution, my_points,
-                        my_valid, other_position, dist_threshold=thr)
-    return n <= threshold
+    um = unmatched_points(grid, other_position, cfg.resolution, my_points,
+                          my_valid, dist_threshold=thr)
+    aux = _grid(cfg, my_points, um, other_position)
+    score = box_mean(aux, other_position, cfg.resolution, other_position,
+                     box_half=0.3)
+    return score <= threshold / 128.0  # kscale, scan_matcher.cpp:34-36

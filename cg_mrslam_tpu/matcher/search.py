@@ -238,24 +238,35 @@ def hierarchical_search(grid: jax.Array, center: jax.Array,
     return SearchResult(poses=poses[order], scores=scores[order])
 
 
-def count_unmatched(grid: jax.Array, center: jax.Array, resolution: float,
-                    points: jax.Array, valid: jax.Array,
-                    box_center: jax.Array, *, dist_threshold: float = 0.3,
-                    box_half: float = 0.3) -> jax.Array:
-    """Points NOT explained by the grid, near ``box_center`` — the
-    reference's ``verifyMatching`` visibility gate
-    (``scan_matcher.cpp:430-505``): a point is unmatched when its grid
-    distance exceeds ``dist_threshold`` (0.3 m, ``:466``); only unmatched
-    points inside a ±``box_half`` box around the candidate's position
-    are counted (``:493-497``, threshold 40 at ``:499``). ``points`` are
-    already in the grid's world frame."""
+def unmatched_points(grid: jax.Array, center: jax.Array, resolution: float,
+                     points: jax.Array, valid: jax.Array, *,
+                     dist_threshold: float = 0.3) -> jax.Array:
+    """Mask of points NOT explained by the grid (reference
+    ``searchNonMatchedPoints``, ``chargrid.cpp:444-455``): a point is
+    unmatched when the grid distance at its cell exceeds
+    ``dist_threshold`` (0.3 m at ``scan_matcher.cpp:466``). Out-of-grid
+    points are not counted (the reference only tests in-grid cells).
+    ``points`` are already in the grid's world frame."""
     cells = grid.shape[0]
     cell = world_to_cell(points, center, cells, resolution)
     inb = jnp.all((cell >= 0) & (cell < cells), axis=-1)
     v = grid[jnp.clip(cell[:, 1], 0, cells - 1),
              jnp.clip(cell[:, 0], 0, cells - 1)]
-    unmatched = valid & inb & (v > dist_threshold)
-    in_box = (jnp.abs(points[:, 0] - box_center[0]) <= box_half) & (
-        jnp.abs(points[:, 1] - box_center[1]) <= box_half
-    )
-    return jnp.sum(unmatched & in_box)
+    return valid & inb & (v > dist_threshold)
+
+
+def box_mean(grid: jax.Array, center: jax.Array, resolution: float,
+             box_center: jax.Array, *, box_half: float = 0.3) -> jax.Array:
+    """Mean grid value over the cells of a world-frame box (reference
+    ``CharGrid::countPoints``, ``chargrid.cpp:417-441``: sum of cell
+    values over the box divided by visited cells)."""
+    cells = grid.shape[0]
+    ax = (jnp.arange(cells, dtype=jnp.float32) + 0.5 - cells / 2.0) \
+        * resolution
+    wx = center[0] + ax                                   # cell centers
+    wy = center[1] + ax
+    mx = jnp.abs(wx - box_center[0]) <= box_half          # [C]
+    my = jnp.abs(wy - box_center[1]) <= box_half
+    m = my[:, None] & mx[None, :]                          # [C,C] row=y
+    n = jnp.maximum(jnp.sum(m), 1)
+    return jnp.sum(jnp.where(m, grid, 0.0)) / n

@@ -56,6 +56,28 @@ def select_gauge_centroid(g: PoseGraph, boundary: jax.Array,
 
 
 @jax.jit
+def select_gauge_optimal(g: PoseGraph, boundary: jax.Array,
+                         valid: jax.Array,
+                         edge_mask: jax.Array) -> jax.Array:
+    """Uncertainty-minimizing gauge (reference ``selectOptimalGauge``,
+    ``condensed_graph_buffer.cpp:252-288``): condense once per candidate
+    gauge and pick the one whose labeled star has the smallest total
+    uncertainty Σₑ det(Ωₑ⁻¹) (``computeOverallUncertainty``, ``:172-179``).
+    The reference loops K full marginalizations on the host; here it is
+    one ``vmap`` — K dense solves batched on the MXU."""
+    def total_uncertainty(cand):
+        star = condense(g, boundary, valid, cand, edge_mask)
+        from cg_mrslam_tpu.core.graph import unpack_info
+        omega = unpack_info(star.info)
+        u = 1.0 / jnp.maximum(jnp.linalg.det(omega), 1e-30)
+        return jnp.sum(jnp.where(star.valid, u, 0.0))
+
+    u = jax.vmap(total_uncertainty)(boundary)
+    u = jnp.where(valid, u, jnp.float32(jnp.inf))
+    return boundary[jnp.argmin(u)]
+
+
+@jax.jit
 def condense(g: PoseGraph, boundary: jax.Array, valid: jax.Array,
              gauge: jax.Array, edge_mask: jax.Array) -> Star:
     """Build the labeled star (reference ``CondensedGraphCreator::compute``).

@@ -195,7 +195,7 @@ def _local_map_grid(st: MRState, cfg: Config, window: int):
     grid = build_grid(world, valid, center, cells=mcfg.cells,
                       resolution=mcfg.resolution,
                       kernel_radius=mcfg.kernel_radius)
-    return grid, center, slots[0]
+    return grid, center, slots[0], world, valid
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -213,7 +213,7 @@ def try_match_parked(st: MRState, cfg: Config) -> MRState:
     cand = jnp.argmax(age).astype(jnp.int32)
     has = st.parked[cand]
 
-    grid, center, my_ref = _local_map_grid(
+    grid, center, my_ref, map_world, map_valid = _local_map_grid(
         st, cfg, 2 * cfg.mr.global_match_window + 1)
     cur_pts, cur_valid = S.points_from_ranges(
         slam.scans, slam.scans.ranges[cand])
@@ -227,6 +227,16 @@ def try_match_parked(st: MRState, cfg: Config) -> MRState:
         x_span=w.global_dx, y_span=w.global_dy, levels=w.global_levels)
     pose, score = res.poses[0], res.scores[0]
     ok = has & (score < cfg.mr.max_score_mr)
+
+    if cfg.mr.detect_robot_in_range:
+        # visibility gate (mr_graph_slam.cpp:218-226 / :291-299): accept
+        # the match only if my scan actually sees the peer's body —
+        # points unexplained by its map — at the claimed position
+        peer_world = se2.apply(pose, cur_pts)
+        detected = matching.verify_match(
+            peer_world, cur_valid, map_world, map_valid, pose[:2],
+            cfg=cfg.lc_matcher, threshold=cfg.windows.verify_threshold)
+        ok = ok & detected
 
     # matched: move the foreign vertex to the matched pose and buffer the
     # closure hypothesis my_ref -> cand (info diag(100,100,1000),
@@ -315,18 +325,23 @@ def receive_closure_list(st: MRState, peer, cl: ClosureList,
         st, in_closures=st.in_closures.at[peer].set(new_row))
 
 
-@jax.jit
-def build_star(st: MRState, peer) -> StarMsg:
+@partial(jax.jit, static_argnames=("gauge_mode",))
+def build_star(st: MRState, peer, gauge_mode: str = "centroid") -> StarMsg:
     """Condense my own-edge graph onto the boundary ``peer`` requested
     (``computeCondensedGraph``, ``condensed_graph_buffer.cpp:437-485``:
-    own edges only, centroid gauge)."""
+    own edges only). ``gauge_mode`` mirrors the reference's two gauge
+    policies: ``"centroid"`` (default, ``selectGaugeCentroid``) or
+    ``"optimal"`` (uncertainty-minimizing ``selectOptimalGauge``)."""
     sel = st.in_closures[peer]
     score = jnp.where(sel, st.slam.v_remote, -1)
     vals, slots = jax.lax.top_k(score, STAR_EDGES)
     valid = vals >= 0
     g = st.slam.graph
-    gauge = CG.select_gauge_centroid(g, slots, valid)
     own = G.own_edge_mask(g, st.slam.my_id)
+    if gauge_mode == "optimal":
+        gauge = CG.select_gauge_optimal(g, slots, valid, own)
+    else:
+        gauge = CG.select_gauge_centroid(g, slots, valid)
     star = CG.condense(g, slots, valid, gauge, own)
     any_b = jnp.any(valid)
     return StarMsg(

@@ -114,3 +114,24 @@ def test_condense_respects_edge_ownership():
     i_all = np.asarray(G.unpack_info(star_all.info))
     k = int(np.argmax(np.asarray(star_own.valid)))
     assert np.trace(i_own[k]) < np.trace(i_all[k])
+
+
+def test_optimal_gauge_minimizes_uncertainty():
+    # selectOptimalGauge (condensed_graph_buffer.cpp:252-288): among the
+    # boundary candidates, the chosen gauge's star has the minimum total
+    # uncertainty sum_e det(cov_e) (computeOverallUncertainty, :172-179)
+    g = _random_graph(seed=3)
+    boundary = jnp.asarray([1, 6, 12, 19, 23], jnp.int32)
+    valid = jnp.ones(5, bool)
+    best = int(CG.select_gauge_optimal(g, boundary, valid, g.emask))
+    assert best in np.asarray(boundary)
+
+    def total_u(gauge):
+        star = CG.condense(g, boundary, valid,
+                           jnp.asarray(gauge, jnp.int32), g.emask)
+        cov = np.linalg.inv(np.asarray(G.unpack_info(star.info)))
+        dets = np.linalg.det(cov)
+        return float(np.sum(dets[np.asarray(star.valid)]))
+
+    us = {int(b): total_u(int(b)) for b in np.asarray(boundary)}
+    assert np.isclose(us[best], min(us.values()), rtol=1e-4)

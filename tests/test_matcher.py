@@ -145,23 +145,55 @@ def test_loop_closure_match_regions():
 
 
 def test_verify_match_gate():
+    # reference semantics (scan_matcher.cpp:430-505): the gate passes
+    # exactly when my scan contains points UNEXPLAINED by the peer's map
+    # clustered at the peer's claimed position — i.e. I see its body there.
     scan = _scene()
     pose_a = np.array([8.0, 10.0, 0.3], np.float32)
     pose_b = np.array([9.0, 10.0, 1.0], np.float32)
     pts_a, va = scan(pose_a)
     pts_b, vb = scan(pose_b)
-    map_pts = se2.apply(jnp.asarray(pose_b), pts_b)   # other robot's map
-    my_pts = se2.apply(jnp.asarray(pose_a), pts_a)    # my scan, world frame
-    # consistent geometry: my unexplained points near B's position are few
-    ok = matching.verify_match(map_pts, vb, my_pts, va,
-                               jnp.asarray(pose_b[:2]), cfg=CFG, threshold=40)
+    map_pts = se2.apply(jnp.asarray(pose_b), pts_b)   # peer's map, world
+    my_pts = np.asarray(se2.apply(jnp.asarray(pose_a), pts_a))
+
+    # the gate discriminates through the grid's far value (=kernel
+    # radius): the reference only calls it on its 0.5 m LC grid, where
+    # "no unmatched points" reads 0.5 > 40/128 (scan_matcher.cpp:34-36,
+    # graph_slam.cpp:58-62)
+    lc_cfg = MatcherConfig(extent=20.0, resolution=0.1, kernel_radius=0.5)
+
+    # my scan also sees the peer's BODY: a small cluster at its position
+    # that its own (static) map cannot explain → detected
+    body = pose_b[:2] + np.array([[0.05, 0.0], [-0.05, 0.05], [0.0, -0.06],
+                                  [0.08, 0.06], [-0.04, -0.04]], np.float32)
+    my_with_body = jnp.asarray(np.concatenate([my_pts, body]))
+    va_with_body = jnp.concatenate([va, jnp.ones(len(body), bool)])
+    ok = matching.verify_match(map_pts, vb, my_with_body, va_with_body,
+                               jnp.asarray(pose_b[:2]), cfg=lc_cfg,
+                               threshold=40.0)
     assert bool(ok)
-    # a robot claiming to stand inside a wall I can see, with a map that
-    # explains nothing (all beams invalid): my wall points around the
-    # claimed position are unexplained -> gate rejects
-    d = np.linalg.norm(np.asarray(my_pts) - pose_a[:2], axis=-1)
-    d[~np.asarray(va)] = np.inf
-    probe = my_pts[int(np.argmin(d))]  # nearest wall: densest beam coverage
-    bad = matching.verify_match(map_pts, jnp.zeros_like(vb), my_pts, va,
-                                probe, cfg=CFG, threshold=2)
+
+    # same scene WITHOUT body returns: everything near the claimed
+    # position is explained by the peer's map → no robot there → rejected
+    bad = matching.verify_match(map_pts, vb, jnp.asarray(my_pts), va,
+                                jnp.asarray(pose_b[:2]), cfg=lc_cfg,
+                                threshold=40.0)
     assert not bool(bad)
+
+
+def test_lc_hierarchical_mode():
+    # scanMatchingLChierarchical equivalent: recovers a loop transform
+    # from a guess within its ±2 m / ±1 rad window
+    scan = _scene()
+    true_pose = np.array([8.0, 10.0, 0.4], np.float32)
+    ref_pose = np.array([7.0, 9.5, 0.1], np.float32)
+    pts_ref, vr = scan(ref_pose)
+    pts_cur, vc = scan(true_pose)
+    ref_world = se2.apply(jnp.asarray(ref_pose), pts_ref)
+    guess = jnp.asarray(true_pose + np.array([0.8, -0.6, 0.3], np.float32))
+    m = matching.loop_closure_match_hierarchical(
+        ref_world, vr, pts_cur, vc, guess, cfg=CFG, windows=WIN)
+    err = np.asarray(m.pose) - true_pose
+    err[2] = (err[2] + np.pi) % (2 * np.pi) - np.pi
+    assert bool(m.accepted)
+    assert abs(err[0]) <= 0.3 and abs(err[1]) <= 0.3 and abs(err[2]) <= 0.1

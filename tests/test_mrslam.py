@@ -92,3 +92,22 @@ def test_two_robot_exchange():
     e01 = cross_err(st0, st1)
     assert len(e01) > 3
     assert np.median(e01) < 0.6, (np.median(e01), e01)
+
+
+def test_detect_robot_in_range_gate_traces():
+    # detectRobotInRange wiring (mr_graph_slam.cpp:218-226): with the flag
+    # on, try_match_parked adds the verifyMatching visibility gate inside
+    # the same fused program; this exercises trace+execute with a parked
+    # foreign vertex present
+    import dataclasses as dc
+
+    from cg_mrslam_tpu.mr import mrslam as MR
+
+    cfg = dc.replace(CFG, mr=dc.replace(CFG.mr, detect_robot_in_range=True))
+    world = W.hospital_world(width=16.0, height=10.0, seed=2)
+    sim = MRS.MultiRobotSim(cfg, world, beams=120, seed=11, n_loops=1)
+    sim.run(max_ticks=40)
+    combo = MR.build_combo(sim.states[1])
+    st = MR.receive_combo(sim.states[0], combo, jnp.asarray(True))
+    st = MR.try_match_parked(st, cfg)   # gate active inside the program
+    assert int(st.slam.graph.n_vertices) >= 1
