@@ -32,9 +32,13 @@ from cg_mrslam_tpu.core.linearize import linearize
 from cg_mrslam_tpu.utils import se2
 
 
-def make_mesh(n_devices: int, shard: int = 2) -> Mesh:
-    """Mesh over the first ``n_devices`` devices: (graphs × shard)."""
-    devs = np.asarray(jax.devices()[:n_devices]).reshape(-1, shard)
+def make_mesh(n_devices: int, shard: int = 2, devices=None) -> Mesh:
+    """Mesh over the first ``n_devices`` devices: (graphs × shard).
+    ``devices`` overrides the default-platform device list (e.g.
+    ``jax.devices("cpu")`` for a virtual validation mesh when the
+    default backend is a single TPU)."""
+    devices = jax.devices() if devices is None else devices
+    devs = np.asarray(devices[:n_devices]).reshape(-1, shard)
     return Mesh(devs, ("graphs", "shard"))
 
 
