@@ -75,28 +75,62 @@ def _use_pallas() -> bool:
             and os.environ.get("CG_MRSLAM_PALLAS", "1") != "0")
 
 
+def _strided_fits_vmem(cells: int, ry: int, rx: int) -> bool:
+    """Conservative VMEM bound for the strided kernel: padded grid +
+    output block + scratch must fit comfortably (the padded grid gains a
+    margin the size of the full window span on every side)."""
+    dyp = ((2 * ry + 1 + 7) // 8) * 8
+    dxp = ((2 * rx + 1 + 127) // 128) * 128
+    hp = cells + 2 * dyp + 8
+    wp = ((cells + 2 * dxp + 127) // 128) * 128 + 128
+    grid_b = hp * wp * 4
+    out_b = 8 * dyp * dxp * 4
+    scratch_b = (dyp + 8) * (dxp + 128) * 4
+    return grid_b + out_b + 2 * scratch_b < 12 * 2**20
+
+
 def score_volume_auto(grid, center, resolution, points, valid, base,
                       thetas, ty_cells, tx_cells, *,
-                      step1: bool) -> jax.Array:
-    """Backend dispatch for the score volume.
+                      kind: str) -> jax.Array:
+    """Backend dispatch for the score volume. ``kind`` is a trace-time
+    tag: ``"contiguous"`` (step-1 symmetric lattice), ``"strided"``
+    (arbitrary static lattice — hierarchical coarse levels; requires
+    numpy ``ty_cells``/``tx_cells``), or ``"xla"`` (tiny vmapped refine
+    windows where kernel launch overhead dominates).
 
-    On TPU, step-1 (contiguous) lattices use the Pallas
-    patch-accumulation kernel (`ops/correlate.py`): measured on a real
-    v5e chip it runs the close-match volume (65×25×25 lattice × 1024
-    points, 1200² grid) in **9.5 ms vs 426 ms** for the jitted XLA
-    gather path — the gather's random access defeats XLA's VMEM
-    staging, while the kernel's aligned full-width tile fetches keep
-    the VPU busy despite their (dyp+8)(dxp+128)/(dy·dx) padding tax.
-    Set ``CG_MRSLAM_PALLAS=0`` to force the XLA path (also used on
-    CPU and for strided coarse lattices, where patch fetches don't
-    apply). ``step1`` must be a Python bool (trace-time dispatch)."""
-    if _use_pallas() and step1:
+    On TPU the Pallas patch-accumulation kernel (`ops/correlate.py`)
+    serves both pallas kinds: measured on a real v5e chip it runs the
+    close-match volume (65×25×25 lattice × 1024 points, 1200² grid) in
+    **9.5 ms vs 426 ms** for the jitted XLA gather path — the gather's
+    random access defeats XLA's VMEM staging, while the kernel's aligned
+    full-width tile fetches keep the VPU busy despite their
+    (dyp+8)(dxp+128)/(dy·dx) padding tax. A strided lattice accumulates
+    the full contiguous span and slices the kept offsets (the tile fetch
+    covers the span either way). Set ``CG_MRSLAM_PALLAS=0`` to force the
+    XLA path everywhere (also used on CPU)."""
+    if _use_pallas() and kind == "contiguous":
         from cg_mrslam_tpu.ops.correlate import pallas_score_volume
 
         return pallas_score_volume(grid, center, resolution, points,
                                    valid, base, thetas, ty_cells, tx_cells)
+    if _use_pallas() and kind == "strided":
+        import numpy as np
+
+        ty = np.asarray(ty_cells)
+        tx = np.asarray(tx_cells)
+        ry = int(max(ty.max(), -ty.min()))
+        rx = int(max(tx.max(), -tx.min()))
+        if _strided_fits_vmem(grid.shape[0], ry, rx):
+            from cg_mrslam_tpu.ops.correlate import (
+                pallas_score_volume_strided,
+            )
+
+            return pallas_score_volume_strided(
+                grid, center, resolution, points, valid, base, thetas,
+                ty, tx)
     return score_volume(grid, center, resolution, points, valid, base,
-                        thetas, ty_cells, tx_cells)
+                        thetas, jnp.asarray(ty_cells),
+                        jnp.asarray(tx_cells))
 
 
 def volume_topk(scores: jax.Array, base: jax.Array, thetas: jax.Array,
@@ -176,7 +210,7 @@ def grid_search(grid: jax.Array, center: jax.Array, resolution: float,
     tx = jnp.arange(-int(round(x_span / resolution)),
                     int(round(x_span / resolution)) + 1, dtype=jnp.int32)
     raw = score_volume_auto(grid, center, resolution, points, valid, base,
-                            thetas, ty, tx, step1=True)
+                            thetas, ty, tx, kind="contiguous")
     scores = raw + _offset_penalty(thetas, ty, tx, resolution, prior_weight)
     return volume_topk(scores, base, thetas, ty, tx, resolution, topk,
                        report=raw)
@@ -200,26 +234,30 @@ def hierarchical_search(grid: jax.Array, center: jax.Array,
     """
     step0 = 2 ** (levels - 1)
 
-    def level_search(b, th_sp, th_st, x_sp, y_sp, cell_step, k):
+    def level_search(b, th_sp, th_st, x_sp, y_sp, cell_step, k,
+                     kind="xla"):
+        import numpy as np
+
         rel = make_lattice(th_sp, th_st)
         thetas = b[2] + rel
         ny = max(1, int(round(y_sp / (resolution * cell_step))))
         nx = max(1, int(round(x_sp / (resolution * cell_step))))
-        ty = jnp.arange(-ny, ny + 1, dtype=jnp.int32) * cell_step
-        tx = jnp.arange(-nx, nx + 1, dtype=jnp.int32) * cell_step
-        # always the XLA path: refine levels run under vmap with tiny
-        # (≤3×3×3) windows where the Pallas kernel has no advantage, and
-        # the coarse level is stride>1 (unsupported by the patch kernel)
+        ty_np = np.arange(-ny, ny + 1, dtype=np.int32) * cell_step
+        tx_np = np.arange(-nx, nx + 1, dtype=np.int32) * cell_step
+        ty = jnp.asarray(ty_np)
+        tx = jnp.asarray(tx_np)
         raw = score_volume_auto(grid, center, resolution, points, valid,
                                 jnp.stack([b[0], b[1], jnp.float32(0.0)]),
-                                thetas, ty, tx, step1=False)
+                                thetas, ty_np, tx_np, kind=kind)
         scores = raw + _offset_penalty(rel, ty, tx, resolution, TIEBREAK)
         return volume_topk(scores, jnp.stack([b[0], b[1], 0.0]), thetas,
                            ty, tx, resolution, k, report=raw)
 
-    # level 0: full window, coarse step, keep `branch`
+    # level 0: full window, coarse step, keep `branch` — the strided
+    # pallas kind (big span, not vmapped); refine levels stay "xla"
+    # (tiny ≤3×3×3 windows under vmap, launch overhead would dominate)
     res0 = level_search(base, th_span, th_res * step0, x_span, y_span,
-                        step0, branch)
+                        step0, branch, kind="strided")
     poses, scores = res0.poses, res0.scores
 
     step = step0

@@ -41,14 +41,9 @@ def unstack_states(batched: MR.MRState, r: int):
             for k in range(r)]
 
 
-def _receive_phase(states: MR.MRState, combos, lists, stars, conn,
-                   cfg: Config) -> MR.MRState:
-    """Per-robot consumption of the gathered message tables.
-
-    ``combos [R,...]``, ``lists [R_src, R_dst, ...]``,
-    ``stars [R_src, R_dst, ...]``; robot ``r`` consumes column ``r`` of
-    each table, gated by ``conn[r, src]``.
-    """
+def _combo_phase(states: MR.MRState, combos, conn, cfg: Config):
+    """Receive everyone's combos, then match + vote (``combos [R,...]``;
+    robot ``r`` consumes row ``conn[r]``)."""
     rr = conn.shape[0]
     rids = jnp.arange(rr, dtype=jnp.int32)
 
@@ -59,15 +54,35 @@ def _receive_phase(states: MR.MRState, combos, lists, stars, conn,
 
         st, _ = jax.lax.scan(rx_combo, st, (combos, conn[r]))
         st = MR.try_match_parked(st, cfg)
-        st = MR.vote_inter_robot(st, cfg)
+        return MR.vote_inter_robot(st, cfg)
 
+    return jax.vmap(per_robot)(states, rids)
+
+
+def _list_phase(states: MR.MRState, lists, conn):
+    """Consume closure lists ``[R_src, R_dst, ...]``: robot ``r`` takes
+    column ``r``."""
+    rr = conn.shape[0]
+    rids = jnp.arange(rr, dtype=jnp.int32)
+
+    def per_robot(st, r):
         def rx_list(s, t):
             src, cl, live = t
             return MR.receive_closure_list(s, src, cl, live), None
 
         my_lists = jax.tree_util.tree_map(lambda a: a[:, r], lists)
         st, _ = jax.lax.scan(rx_list, st, (rids, my_lists, conn[r]))
+        return st
 
+    return jax.vmap(per_robot)(states, rids)
+
+
+def _star_phase(states: MR.MRState, stars, conn):
+    """Consume condensed stars ``[R_src, R_dst, ...]``."""
+    rr = conn.shape[0]
+    rids = jnp.arange(rr, dtype=jnp.int32)
+
+    def per_robot(st, r):
         def rx_star(s, t):
             src, msg, live = t
             return MR.receive_star(s, src, msg, live), None
@@ -79,26 +94,35 @@ def _receive_phase(states: MR.MRState, combos, lists, stars, conn,
     return jax.vmap(per_robot)(states, rids)
 
 
-def _build_phase(states: MR.MRState, rr: int):
-    """Everything a robot sends this round, as [R_src(, R_dst), ...]."""
+def _build_lists(states: MR.MRState, rr: int):
     rids = jnp.arange(rr, dtype=jnp.int32)
-    combos = jax.vmap(MR.build_combo)(states)
-    lists = jax.vmap(
+    return jax.vmap(
         lambda st: jax.vmap(lambda p: MR.build_closure_list(st, p))(rids)
     )(states)
-    stars = jax.vmap(
+
+
+def _build_stars(states: MR.MRState, rr: int):
+    rids = jnp.arange(rr, dtype=jnp.int32)
+    return jax.vmap(
         lambda st: jax.vmap(lambda p: MR.build_star(st, p))(rids)
     )(states)
-    return combos, lists, stars
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def fleet_round(states: MR.MRState, conn: jax.Array,
                 cfg: Config) -> MR.MRState:
-    """One synchronous exchange round, batched over robots [R, ...]."""
+    """One synchronous exchange round, batched over robots [R, ...].
+
+    Three build→deliver→consume phases IN ORDER — closure lists are built
+    AFTER this round's votes, and stars AFTER this round's list
+    deliveries, exactly like the host-loop harness (``mr.sim``) and the
+    reference's processing cadence. Building all three tables up front
+    would lag lists/stars one round behind and the trajectories diverge."""
     rr = conn.shape[0]
-    combos, lists, stars = _build_phase(states, rr)
-    return _receive_phase(states, combos, lists, stars, conn, cfg)
+    combos = jax.vmap(MR.build_combo)(states)
+    states = _combo_phase(states, combos, conn, cfg)
+    states = _list_phase(states, _build_lists(states, rr), conn)
+    return _star_phase(states, _build_stars(states, rr), conn)
 
 
 def fleet_round_sharded(states: MR.MRState, conn: jax.Array, cfg: Config,
@@ -115,46 +139,54 @@ def fleet_round_sharded(states: MR.MRState, conn: jax.Array, cfg: Config,
     rr = conn.shape[0]
 
     def body(st_local, conn_full):
-        combos_l, lists_l, stars_l = _build_phase(st_local, rr)
+        # one robot per shard row (shard size 1)
+        me = jax.lax.axis_index("robots")
+        rids = jnp.arange(rr, dtype=jnp.int32)
         gather = partial(jax.lax.all_gather, axis_name="robots",
                          tiled=True)
-        combos = jax.tree_util.tree_map(gather, combos_l)
-        lists = jax.tree_util.tree_map(gather, lists_l)
-        stars = jax.tree_util.tree_map(gather, stars_l)
-        # local receive: this shard's rows of the batched state
-        me = jax.lax.axis_index("robots")
 
-        def per_robot(st, k):
-            r = me  # one robot per shard row here (shard size 1)
-            rids = jnp.arange(rr, dtype=jnp.int32)
+        def squeeze(st):
+            return jax.tree_util.tree_map(lambda a: a[0], st)
 
-            def rx_combo(s, t):
-                combo, live = t
-                return MR.receive_combo(s, combo, live), None
+        def unsqueeze(st):
+            return jax.tree_util.tree_map(lambda a: a[None], st)
 
-            st, _ = jax.lax.scan(rx_combo, st, (combos, conn_full[r]))
-            st = MR.try_match_parked(st, cfg)
-            st = MR.vote_inter_robot(st, cfg)
+        st = squeeze(st_local)
 
-            def rx_list(s, t):
-                src, cl, live = t
-                return MR.receive_closure_list(s, src, cl, live), None
+        # phase 1: combos — build local, gather, consume, match + vote
+        combos = jax.tree_util.tree_map(gather,
+                                        unsqueeze(MR.build_combo(st)))
 
-            my_lists = jax.tree_util.tree_map(lambda a: a[:, r], lists)
-            st, _ = jax.lax.scan(rx_list, st, (rids, my_lists,
-                                               conn_full[r]))
+        def rx_combo(s, t):
+            combo, live = t
+            return MR.receive_combo(s, combo, live), None
 
-            def rx_star(s, t):
-                src, msg, live = t
-                return MR.receive_star(s, src, msg, live), None
+        st, _ = jax.lax.scan(rx_combo, st, (combos, conn_full[me]))
+        st = MR.try_match_parked(st, cfg)
+        st = MR.vote_inter_robot(st, cfg)
 
-            my_stars = jax.tree_util.tree_map(lambda a: a[:, r], stars)
-            st, _ = jax.lax.scan(rx_star, st, (rids, my_stars,
-                                               conn_full[r]))
-            return st
+        # phase 2: closure lists built from the POST-vote state
+        lists_l = jax.vmap(lambda p: MR.build_closure_list(st, p))(rids)
+        lists = jax.tree_util.tree_map(gather, unsqueeze(lists_l))
 
-        return jax.vmap(per_robot)(st_local,
-                                   jnp.arange(1, dtype=jnp.int32))
+        def rx_list(s, t):
+            src, cl, live = t
+            return MR.receive_closure_list(s, src, cl, live), None
+
+        my_lists = jax.tree_util.tree_map(lambda a: a[:, me], lists)
+        st, _ = jax.lax.scan(rx_list, st, (rids, my_lists, conn_full[me]))
+
+        # phase 3: stars built from the POST-list state
+        stars_l = jax.vmap(lambda p: MR.build_star(st, p))(rids)
+        stars = jax.tree_util.tree_map(gather, unsqueeze(stars_l))
+
+        def rx_star(s, t):
+            src, msg, live = t
+            return MR.receive_star(s, src, msg, live), None
+
+        my_stars = jax.tree_util.tree_map(lambda a: a[:, me], stars)
+        st, _ = jax.lax.scan(rx_star, st, (rids, my_stars, conn_full[me]))
+        return unsqueeze(st)
 
     fn = shard_map(
         body, mesh=mesh,

@@ -109,13 +109,31 @@ def _gauge_fix(H: jax.Array, b: jax.Array, free3: jax.Array):
     return Hf, b * free3
 
 
+def _use_cholesky() -> bool:
+    import os
+
+    return os.environ.get("CG_MRSLAM_CHOLESKY", "0") == "1"
+
+
 def solve_normal_equations(eq: NormalEq, damping: jax.Array | float = 0.0):
-    """dx = -(H + λ·diag-aug)⁻¹ b via Cholesky. λ=0 → pure Gauss–Newton."""
+    """dx = -(H + λ·diag-aug)⁻¹ b. λ=0 → pure Gauss–Newton.
+
+    Default path: explicit SPD inverse by recursive block-Schur matmuls
+    (``solver.spd``) — on TPU, XLA's Cholesky/triangular-solve chain is
+    latency-bound (~57 ms per batched iteration at [1024,192,192] while
+    the MXU idles); the matmul inverse turns the solve into MXU work.
+    ``CG_MRSLAM_CHOLESKY=1`` restores the factorization path."""
     H, b = _gauge_fix(eq.H, eq.b, eq.free3)
     lam = jnp.asarray(damping, H.dtype)
     H = H + lam * jnp.eye(H.shape[0], dtype=H.dtype) * eq.free3[:, None]
-    L = jax.scipy.linalg.cho_factor(H, lower=True)
-    dx = -jax.scipy.linalg.cho_solve(L, b)
+    if _use_cholesky():
+        L = jax.scipy.linalg.cho_factor(H, lower=True)
+        dx = -jax.scipy.linalg.cho_solve(L, b)
+    else:
+        from cg_mrslam_tpu.solver.spd import spd_inverse
+
+        dx = -jnp.einsum("...ij,...j->...i", spd_inverse(H), b,
+                         precision=jax.lax.Precision.HIGHEST)
     return dx * eq.free3
 
 
@@ -193,15 +211,23 @@ def marginal_covariance(
     eq = build_normal_equations(g, edge_mask)
     H, _ = _gauge_fix(eq.H, eq.b, eq.free3)
     # tiny jitter: a free vertex connected only within a gauge-less edge
-    # subset (degenerate caller input) keeps H factorizable instead of
+    # subset (degenerate caller input) keeps H invertible instead of
     # producing NaN covariances that would poison downstream consumers
     H = H + 1e-6 * jnp.eye(H.shape[0], dtype=H.dtype)
-    L = jax.scipy.linalg.cho_factor(H, lower=True)
-
     cols = (3 * query)[:, None] + jnp.arange(3)[None, :]  # [Q,3]
     n3 = H.shape[0]
-    rhs = jax.nn.one_hot(cols.reshape(-1), n3, dtype=H.dtype).T  # [3N, 3Q]
-    X = jax.scipy.linalg.cho_solve(L, rhs)  # [3N, 3Q]
+    if _use_cholesky():
+        L = jax.scipy.linalg.cho_factor(H, lower=True)
+        rhs = jax.nn.one_hot(cols.reshape(-1), n3,
+                             dtype=H.dtype).T           # [3N, 3Q]
+        X = jax.scipy.linalg.cho_solve(L, rhs)  # [3N, 3Q]
+        q = query.shape[0]
+        Xq = X[cols.reshape(-1)].reshape(q, 3, q, 3)
+        return Xq[jnp.arange(q), :, jnp.arange(q), :]  # [Q,3,3] diagonal
+    from cg_mrslam_tpu.solver.spd import spd_inverse
+
+    hinv = spd_inverse(H)
+    rows = hinv[cols.reshape(-1)]                        # [3Q, 3N]
     q = query.shape[0]
-    Xq = X[cols.reshape(-1)].reshape(q, 3, q, 3)  # rows = query coords
-    return Xq[jnp.arange(q), :, jnp.arange(q), :]  # [Q,3,3] diagonal blocks
+    Xq = rows[:, cols.reshape(-1)].reshape(q, 3, q, 3)
+    return Xq[jnp.arange(q), :, jnp.arange(q), :]        # [Q,3,3] diagonal

@@ -1,0 +1,60 @@
+"""FleetSim (one fused program per round) vs the host-loop MultiRobotSim.
+
+Both drivers implement the same synchronous round — every gated robot's
+keyframe step, then the combo/closure-list/star exchange — so on the same
+world/seed they must produce the same keyframe counts and closely
+matching trajectories (float noise from bucket-padding differences only).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cg_mrslam_tpu.config import (Config, MatcherConfig, MRConfig,
+                                  SlamConfig)
+from cg_mrslam_tpu.mr import sim as MRS
+from cg_mrslam_tpu.parallel import fleet
+from cg_mrslam_tpu.parallel.fleet_sim import FleetSim
+from cg_mrslam_tpu.sim import world as W
+
+CFG = Config(
+    slam=SlamConfig(min_inliers=4, window_loop_closure=8),
+    mr=MRConfig(n_robots=2, min_inliers_mr=4, sim_comm_range=6.0,
+                max_score_mr=0.2),
+    close_matcher=MatcherConfig(extent=16.0, resolution=0.05,
+                                kernel_radius=0.2),
+    lc_matcher=MatcherConfig(extent=24.0, resolution=0.1,
+                             kernel_radius=0.5),
+    max_vertices=96, max_edges=512)
+
+TICKS = 260
+
+
+def test_fleet_sim_matches_host_loop():
+    world = W.hospital_world(width=16.0, height=10.0, seed=2)
+    fs = FleetSim(CFG, world, beams=120, seed=11, n_loops=2,
+                  width=16.0, height=10.0)
+    fs.run(max_ticks=TICKS)
+
+    world = W.hospital_world(width=16.0, height=10.0, seed=2)
+    hs = MRS.MultiRobotSim(CFG, world, beams=120, seed=11, n_loops=2,
+                           width=16.0, height=10.0)
+    hs.run(max_ticks=TICKS)
+
+    ref = fleet.stack_states(hs.states)
+    for r in range(2):
+        assert len(fs.kf_gt[r]) == len(hs.kf_gt[r])
+        nv = int(ref.slam.graph.n_vertices[r])
+        assert int(fs.states.slam.graph.n_vertices[r]) == nv
+        a = np.asarray(fs.states.slam.graph.poses[r, :nv])
+        b = np.asarray(ref.slam.graph.poses[r, :nv])
+        d = a - b
+        d[:, 2] = (d[:, 2] + np.pi) % (2 * np.pi) - np.pi
+        assert np.abs(d).max() < 0.05, np.abs(d).max()
+
+    # the fused round actually found inter-robot structure
+    assert int(fs.states.slam.graph.n_edges.sum()) > 0
+    owners = np.asarray(fs.states.slam.v_owner)
+    vm = np.asarray(fs.states.slam.graph.vmask)
+    # each robot hosts at least one foreign vertex after exchange
+    for r in range(2):
+        assert ((owners[r] != r) & vm[r]).any()

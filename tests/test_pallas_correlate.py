@@ -85,3 +85,22 @@ def test_lattice_predicate():
     assert lattice_is_contiguous(np.arange(-4, 5))
     assert not lattice_is_contiguous(np.arange(-4, 5) * 2)
     assert not lattice_is_contiguous(np.arange(-4, 4))
+
+
+def test_strided_matches_xla_path():
+    # the hierarchical coarse level: stride-8 translation lattice; the
+    # strided kernel accumulates the full span and slices
+    from cg_mrslam_tpu.ops.correlate import pallas_score_volume_strided
+
+    grid, center, res, mov, valid = _setup(seed=4)
+    thetas = make_lattice(0.4, 0.1)
+    ty = np.arange(-3, 4, dtype=np.int32) * 8
+    tx = np.arange(-2, 3, dtype=np.int32) * 8
+    b = jnp.asarray([0.3, -0.2, 0.5], jnp.float32)
+    want = score_volume(grid, center, res, mov, valid, b, thetas,
+                        jnp.asarray(ty), jnp.asarray(tx))
+    got = pallas_score_volume_strided(grid, center, res, mov, valid, b,
+                                      thetas, ty, tx, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
