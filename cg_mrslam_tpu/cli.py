@@ -152,6 +152,70 @@ def cmd_srslam(argv):
     print("metrics:", json.dumps(summary))
 
 
+def _run_udp_node(a):
+    """One robot per process over UDP — the reference's deployment shape
+    (``README.md:77-93``: N ``cg_mrslam`` processes, datagrams between
+    them). All processes build the same seeded world, so trajectories
+    agree without a shared simulator."""
+    import time
+
+    from cg_mrslam_tpu.mr.node import RobotNode
+    from cg_mrslam_tpu.mr.transport import UdpTransport
+    from cg_mrslam_tpu.sim import world as W
+
+    r = a.idRobot
+    cfg = _build_config(a, n_robots=a.nRobots)
+    world = W.hospital_world(a.world_width, a.world_height, seed=a.seed)
+    fov = 2 * np.pi * 0.75
+    traj = W.simulate_robot(
+        world, W.corridor_waypoints(a.world_width, a.world_height, r,
+                                    a.loops),
+        seed=a.seed + 7 * r, beams=a.beams, fov=fov,
+        max_range=a.max_range, odom_noise=tuple(a.odom_noise))
+    transport = UdpTransport(r, a.nRobots, base_addr=a.baseAddr,
+                             base_port=a.basePort)
+    node = RobotNode(cfg, r, a.beams, traj.gt[0], traj.ranges[0], fov,
+                     a.max_range, transport, modality=a.modality,
+                     gt_pose=traj.gt[0])
+    if a.modality == "bag":
+        if not a.pings:
+            print("bag modality needs --pings", file=sys.stderr)
+            return 2
+        node.load_pings(a.pings)
+    print(f"robot {r}/{a.nRobots} on "
+          f"{transport.my_addr[0]}:{transport.my_addr[1]} "
+          f"({'native' if transport.native else 'python'} transport, "
+          f"modality {a.modality})")
+    T = len(traj.gt) if not a.ticks else min(a.ticks, len(traj.gt))
+    t_wall = time.time()
+    for t in range(1, T):
+        now = 0.1 * t  # 10 Hz main loop (cg_mrslam.cpp:206)
+        if a.modality == "bag":
+            node.bag_tick(now)
+        kf = node.observe(traj.rel_odom[t - 1], traj.ranges[t],
+                          gt_pose=traj.gt[t])
+        node.comm_round(now)
+        if kf:
+            g = node.state.slam.graph
+            print(f"t={t} keyframe {int(g.n_vertices) - 1} "
+                  f"sent={node.stats['sent']} "
+                  f"recv={node.stats['received']}")
+        if int(node.state.slam.graph.n_vertices) >= cfg.max_vertices - 4:
+            print("vertex capacity reached; stopping")
+            break
+    # drain the tail: peers may still be sending
+    for k in range(20):
+        node.comm_round(0.1 * T + 0.1 * k)
+        time.sleep(0.05)
+    print(f"done in {time.time() - t_wall:.1f}s; stats={node.stats}")
+    if a.record_pings:
+        node.save_pings(a.record_pings)
+        print(f"wrote {a.record_pings}")
+    _save_outputs(a.o, node.state.slam, cfg, a, robot_id=r)
+    node.close()
+    return 0
+
+
 def cmd_cg_mrslam(argv):
     p = argparse.ArgumentParser(prog="cg_mrslam")
     _common_flags(p)
@@ -159,9 +223,27 @@ def cmd_cg_mrslam(argv):
     p.add_argument("--maxScoreMR", type=float, default=0.15)
     p.add_argument("--minInliersMR", type=int, default=5)
     p.add_argument("--windowMRLoopClosure", type=int, default=10)
-    p.add_argument("--modality", choices=("sim", "real"), default="sim")
+    p.add_argument("--modality", choices=("sim", "real", "bag"),
+                   default="sim")
     p.add_argument("--commRange", type=float, default=5.0)
+    # per-process deployment (the reference's shape: one cg_mrslam
+    # process per robot, UDP between them — cg_mrslam.cpp + graph_comm)
+    p.add_argument("--idRobot", type=int, default=-1,
+                   help="run ONE robot in this process over UDP "
+                        "(-1 = all robots in-process)")
+    p.add_argument("--baseAddr", default="127.0.0.1",
+                   help="peer base address; trailing '.' uses the "
+                        "reference scheme baseAddr+(id+1) "
+                        "(graph_comm.cpp:41-51)")
+    p.add_argument("--basePort", type=int, default=42001)
+    p.add_argument("--pings", default=None,
+                   help="recorded ping log (JSONL) for bag modality")
+    p.add_argument("--record-pings", default=None,
+                   help="write received beacon log for later bag replay")
     a = p.parse_args(argv)
+
+    if a.idRobot >= 0:
+        return _run_udp_node(a)
 
     from cg_mrslam_tpu.mr.sim import MultiRobotSim
     from cg_mrslam_tpu.sim import world as W
@@ -172,6 +254,19 @@ def cmd_cg_mrslam(argv):
                         max_range=a.max_range, seed=a.seed,
                         n_loops=a.loops, odom_noise=tuple(a.odom_noise),
                         width=a.world_width, height=a.world_height)
+    if a.modality == "bag":
+        if not a.pings:
+            print("bag modality needs --pings", file=sys.stderr)
+            return 2
+        import json
+
+        from cg_mrslam_tpu.mr.network import PingLog
+        pl = PingLog(a.nRobots)
+        with open(a.pings) as f:
+            for line in f:
+                e = json.loads(line)
+                pl.record(e["t"], e["hearer"], e["sender"])
+        sim.ping_log = pl
     sim.run(max_ticks=a.ticks or None, modality=a.modality)
     for r in range(a.nRobots):
         st = sim.states[r]

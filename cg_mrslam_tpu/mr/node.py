@@ -1,0 +1,226 @@
+"""Per-process robot node: one robot's SLAM state + a real transport.
+
+This is the deployment shape of the reference — one ``cg_mrslam`` process
+per robot exchanging UDP datagrams (``/root/reference/src/cg_mrslam.cpp``
++ ``src/mrslam/graph_comm.cpp``) — rebuilt around the framework's
+functional state: the node owns an ``MRState``, runs the fused keyframe
+step on observations, and runs a communication round per tick that mirrors
+the reference's sender/receiver/processor threads
+(``graph_comm.cpp:126-208``) synchronously:
+
+1. broadcast a connectivity beacon (the ``comm_publisher`` role,
+   ``comm_publisher.cpp:50-82``);
+2. drain the inbox and apply each message (combo → instantiate + match,
+   closure list → stage my condensed star, star → splice —
+   ``mr_graph_slam.cpp:118-501``);
+3. retry parked foreign vertices + run the per-peer closure vote
+   (``findInterRobotConstraints`` / ``checkInterRobotClosures``);
+4. send combo + per-peer closure lists and staged stars to every peer
+   currently in range (modality gating of ``robotsInRange``,
+   ``graph_comm.cpp:70-101``).
+
+Everything is fire-and-forget and idempotent (stars replace wholesale),
+so loss, duplication and reorder are tolerated exactly as in the
+reference.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from cg_mrslam_tpu.config import Config
+from cg_mrslam_tpu.mr import mrslam as MR
+from cg_mrslam_tpu.mr import wire
+from cg_mrslam_tpu.mr.transport import UdpTransport
+from cg_mrslam_tpu.pipeline.slam import keyframe_step
+
+
+class RobotNode:
+    """One robot's process-local endpoint."""
+
+    def __init__(self, cfg: Config, robot_id: int, beams: int,
+                 initial_pose, ranges, fov: float, max_range: float,
+                 transport: UdpTransport, modality: str = "real",
+                 gt_pose=None):
+        self.cfg = cfg
+        self.id = robot_id
+        self.R = cfg.mr.n_robots
+        self.beams = beams
+        self.modality = modality
+        self.transport = transport
+        self.state = MR.init_mr_state(cfg, beams, initial_pose, ranges,
+                                      fov, max_range, my_id=robot_id)
+        self._est = np.asarray(initial_pose, np.float64).copy()
+        self._kf_est = self._est.copy()
+        self._gt = np.asarray(
+            gt_pose if gt_pose is not None else initial_pose,
+            np.float64).copy()
+        # connectivity bookkeeping from received beacons
+        self._ping_time = np.full(self.R, -np.inf)
+        self._peer_pos = np.full((self.R, 2), np.inf)
+        self._last_combo_sent = -1  # n_vertices at last combo broadcast
+        self.ping_events: List[Tuple[float, int, int]] = []  # (t, me, src)
+        self.stats = {"sent": 0, "received": 0, "keyframes": 0,
+                      "decode_errors": 0}
+        self.infos = []
+
+    # ---------------------------------------------------------- sensing
+
+    def dead_reckon(self, rel_odom) -> None:
+        e = self._est
+        c, s = np.cos(e[2]), np.sin(e[2])
+        self._est = np.array([
+            e[0] + c * rel_odom[0] - s * rel_odom[1],
+            e[1] + s * rel_odom[0] + c * rel_odom[1],
+            (e[2] + rel_odom[2] + np.pi) % (2 * np.pi) - np.pi])
+
+    def keyframe_due(self) -> bool:
+        d = np.hypot(*(self._est[:2] - self._kf_est[:2]))
+        dth = abs((self._est[2] - self._kf_est[2] + np.pi)
+                  % (2 * np.pi) - np.pi)
+        return (d > self.cfg.slam.linear_update
+                or dth > self.cfg.slam.angular_update)
+
+    def observe(self, rel_odom, ranges, gt_pose=None) -> bool:
+        """Dead-reckon; on keyframe run the fused SLAM step. Returns
+        whether a keyframe was added (``cg_mrslam.cpp:206-259`` loop)."""
+        self.dead_reckon(rel_odom)
+        if gt_pose is not None:
+            self._gt = np.asarray(gt_pose, np.float64).copy()
+        if not self.keyframe_due():
+            return False
+        if int(self.state.slam.graph.n_vertices) >= self.cfg.max_vertices - 4:
+            return False
+        st = self.state
+        slam, info = keyframe_step(
+            st.slam, jnp.asarray(self._est, jnp.float32),
+            jnp.asarray(ranges, jnp.float32), self.cfg)
+        self.state = MR.MRState(
+            slam=slam, parked=st.parked, park_age=st.park_age,
+            peer_buf=st.peer_buf, in_closures=st.in_closures,
+            out_closures=st.out_closures)
+        self._est = np.asarray(info.pose, np.float64)
+        self._kf_est = self._est.copy()
+        self.stats["keyframes"] += 1
+        self.infos.append(info)
+        return True
+
+    # ----------------------------------------------------- connectivity
+
+    def connected(self, peer: int, t: float) -> bool:
+        """modality gate of ``robotsInRange`` (graph_comm.cpp:70-101)."""
+        if peer == self.id:
+            return False
+        if self.modality == "real":
+            return True   # the radio decides (:74-78)
+        if self.modality == "bag":
+            return (t - self._ping_time[peer]
+                    ) < self.cfg.mr.ping_timeout  # (:88-98)
+        # sim: ground-truth distance < range (:79-87); peer position
+        # arrives on the beacon instead of a ROS ground-truth topic
+        if not np.isfinite(self._peer_pos[peer]).all():
+            return False
+        return bool(np.hypot(*(self._gt[:2] - self._peer_pos[peer]))
+                    < self.cfg.mr.sim_comm_range)
+
+    # ----------------------------------------------------------- comms
+
+    def _apply(self, sender: int, msg) -> None:
+        live = jnp.asarray(True)
+        if isinstance(msg, MR.Combo):
+            self.state = MR.receive_combo(self.state, msg, live)
+        elif isinstance(msg, MR.ClosureList):
+            self.state = MR.receive_closure_list(
+                self.state, jnp.asarray(sender, jnp.int32), msg, live)
+        elif isinstance(msg, MR.StarMsg):
+            self.state = MR.receive_star(
+                self.state, jnp.asarray(sender, jnp.int32), msg, live)
+        elif isinstance(msg, MR.GraphMsg):
+            self.state = MR.receive_graph_msg(self.state, msg, live)
+
+    def comm_round(self, t: float) -> None:
+        """One synchronous pass of the reference's three comm threads."""
+        # 1. beacon (comm_publisher.cpp:50-82; carries my position for
+        #    cross-process SIM gating)
+        ping = wire.encode(wire.Ping(self.id, float(self._gt[0]),
+                                     float(self._gt[1])))
+        for peer in range(self.R):
+            if peer != self.id:
+                self.transport.send(peer, ping)
+
+        # 2. drain + process (receiveFromThrd/processQueueThrd)
+        for buf in self.transport.drain():
+            try:
+                sender, msg = wire.decode(buf, beams=self.beams)
+            except (ValueError, IndexError):
+                self.stats["decode_errors"] += 1
+                continue
+            if isinstance(msg, wire.Ping):
+                self._ping_time[msg.robot] = t
+                self._peer_pos[msg.robot] = (msg.x, msg.y)
+                self.ping_events.append((t, self.id, msg.robot))
+                continue
+            self.stats["received"] += 1
+            self._apply(sender, msg)
+
+        # 3. retry parked vertices + per-peer closure vote
+        #    (findInterRobotConstraints, mr_graph_slam.cpp:254-329)
+        self.state = MR.try_match_parked(self.state, self.cfg)
+        self.state = MR.vote_inter_robot(self.state, self.cfg)
+
+        # 4. gated sends (sendToThrd, graph_comm.cpp:126-154)
+        peers = [p for p in range(self.R) if self.connected(p, t)]
+        if not peers:
+            return
+        n_now = int(self.state.slam.graph.n_vertices)
+        combo = wire.encode(MR.build_combo(self.state)) \
+            if n_now != self._last_combo_sent else None
+        for p in peers:
+            if combo is not None:
+                self.transport.send(p, combo)
+                self.stats["sent"] += 1
+            cl = MR.build_closure_list(self.state,
+                                       jnp.asarray(p, jnp.int32))
+            if bool(np.asarray(cl.valid).any()):
+                self.transport.send(p, wire.encode(cl, robot=self.id))
+                self.stats["sent"] += 1
+            star = MR.build_star(self.state, jnp.asarray(p, jnp.int32))
+            if bool(np.asarray(star.valid).any()):
+                self.transport.send(p, wire.encode(star, robot=self.id))
+                self.stats["sent"] += 1
+        if combo is not None:
+            self._last_combo_sent = n_now
+
+    # ------------------------------------------------------- ping logs
+
+    def save_pings(self, path: str) -> None:
+        """Record received beacons for later BAG-modality replay (the
+        reference's REAL runs publish Ping messages into the bag,
+        ros_handler.cpp:241-264)."""
+        with open(path, "w") as f:
+            for (t, hearer, sender) in self.ping_events:
+                f.write(json.dumps(
+                    {"t": t, "hearer": hearer, "sender": sender}) + "\n")
+
+    def load_pings(self, path: str) -> None:
+        """Pre-load a recorded ping log for BAG gating: connectivity at
+        time t is decided by the recorded ping ages, not live beacons."""
+        self._bag_events = []
+        with open(path) as f:
+            for line in f:
+                e = json.loads(line)
+                if e["hearer"] == self.id:
+                    self._bag_events.append((e["t"], e["sender"]))
+
+    def bag_tick(self, t: float) -> None:
+        """Advance replayed ping ages up to time ``t``."""
+        for (ts, sender) in getattr(self, "_bag_events", []):
+            if ts <= t:
+                self._ping_time[sender] = max(self._ping_time[sender], ts)
+
+    def close(self) -> None:
+        self.transport.close()

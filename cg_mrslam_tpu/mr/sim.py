@@ -109,8 +109,10 @@ class MultiRobotSim:
             conn = np.asarray(NET.real_connectivity(self.R))
         elif modality == "bag":
             assert self.ping_log is not None, "bag modality needs a PingLog"
+            # ping logs are in seconds (10 Hz main loop, cg_mrslam.cpp:206)
+            # so logs recorded by UDP RobotNodes replay here unchanged
             conn = np.asarray(self.ping_log.connectivity(
-                float(t), self.cfg.mr.ping_timeout))
+                0.1 * float(t), self.cfg.mr.ping_timeout))
         else:
             gt_pos = np.stack([tr.gt[min(t, len(tr.gt) - 1), :2]
                                for tr in self.trajs])

@@ -22,13 +22,30 @@ from typing import Tuple, Union
 
 import numpy as np
 
-from cg_mrslam_tpu.mr.mrslam import ClosureList, Combo, StarMsg
+from typing import NamedTuple
+
+from cg_mrslam_tpu.mr.mrslam import ClosureList, Combo, GraphMsg, StarMsg
 
 MAX_DATAGRAM = 100_000           # msg_factory.h:115
+TYPE_PING = 0                    # comm_publisher beacon ("I am robot N",
+#                                  comm_publisher.cpp:50-82) — not in the
+#                                  reference's MessageFactory registry
 TYPE_COMBO = 4                   # msg_factory.h:141-271 tag values
 TYPE_CLOSURES = 6
 TYPE_CONDENSED = 7
 TYPE_GRAPH = 8
+
+
+class Ping(NamedTuple):
+    """Connectivity beacon. The reference's comm_publisher broadcasts a
+    bare robot id; ours additionally carries the sender's current
+    position so SIM-modality range gating works across process
+    boundaries (the reference gets peer positions from per-robot ROS
+    ground-truth topics instead, ros_handler.cpp:145-153)."""
+
+    robot: int
+    x: float
+    y: float
 
 _HDR = struct.Struct("<iii")     # type, robotId, payload float32 count
 
@@ -49,9 +66,20 @@ def _unpack(buf: bytes) -> Tuple[int, int, np.ndarray]:
     return t, robot, flat
 
 
-def encode(msg: Union[Combo, ClosureList, StarMsg],
+def encode(msg: Union[Combo, ClosureList, StarMsg, GraphMsg, Ping],
            robot: int = -1) -> bytes:
     """Serialize one message (float32 wire, like the reference)."""
+    if isinstance(msg, Ping):
+        return _pack(TYPE_PING, int(msg.robot),
+                     np.asarray([msg.x, msg.y], np.float32))
+    if isinstance(msg, GraphMsg):
+        v = np.asarray(msg.poses).shape[0]
+        return _pack(TYPE_GRAPH, int(msg.robot),
+                     np.asarray([v], np.float32),
+                     np.asarray(msg.poses), np.asarray(msg.idxs),
+                     np.asarray(msg.vvalid), np.asarray(msg.e_ij),
+                     np.asarray(msg.e_z), np.asarray(msg.e_info),
+                     np.asarray(msg.evalid))
     if isinstance(msg, Combo):
         return _pack(TYPE_COMBO, int(msg.robot),
                      np.asarray(msg.poses), np.asarray(msg.idxs),
@@ -75,6 +103,31 @@ def decode(buf: bytes, beams: int | None = None
     import jax.numpy as jnp
 
     t, robot, flat = _unpack(buf)
+    if t == TYPE_PING:
+        return robot, Ping(robot=robot, x=float(flat[0]), y=float(flat[1]))
+    if t == TYPE_GRAPH:
+        v = int(flat[0])
+        o = 1
+        poses = flat[o:o + 3 * v].reshape(v, 3)
+        o += 3 * v
+        idxs = flat[o:o + v].astype(np.int32)
+        o += v
+        vvalid = flat[o:o + v] > 0.5
+        o += v
+        e = (flat.size - o) // 12  # e_ij 2E + e_z 3E + e_info 6E + valid E
+        e_ij = flat[o:o + 2 * e].reshape(e, 2).astype(np.int32)
+        o += 2 * e
+        e_z = flat[o:o + 3 * e].reshape(e, 3)
+        o += 3 * e
+        e_info = flat[o:o + 6 * e].reshape(e, 6)
+        o += 6 * e
+        evalid = flat[o:o + e] > 0.5
+        return robot, GraphMsg(
+            robot=jnp.asarray(robot, jnp.int32),
+            poses=jnp.asarray(poses), idxs=jnp.asarray(idxs),
+            vvalid=jnp.asarray(vvalid), e_ij=jnp.asarray(e_ij),
+            e_z=jnp.asarray(e_z), e_info=jnp.asarray(e_info),
+            evalid=jnp.asarray(evalid))
     if t == TYPE_COMBO:
         c = (flat.size - beams) // 5  # poses 3C + idxs C + valid C
         p = 3 * c

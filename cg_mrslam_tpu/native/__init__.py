@@ -19,14 +19,29 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
-def _build(src: str, out: str) -> bool:
+def _build(src: str, out: str, *extra: str) -> bool:
     try:
         r = subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *extra,
+             src, "-o", out],
             capture_output=True, timeout=120)
         return r.returncode == 0
     except (OSError, subprocess.TimeoutExpired):
         return False
+
+
+def _load(stem: str, *extra: str) -> Optional[ctypes.CDLL]:
+    """Build (if stale) and dlopen native/<stem>.cpp → lib<stem>.so."""
+    src = os.path.join(_DIR, f"{stem}.cpp")
+    so = os.path.join(_DIR, f"lib{stem}.so")
+    if not os.path.exists(so) or (
+            os.path.getmtime(so) < os.path.getmtime(src)):
+        if not _build(src, so, *extra):
+            return None
+    try:
+        return ctypes.CDLL(so)
+    except OSError:
+        return None
 
 
 def lib() -> Optional[ctypes.CDLL]:
@@ -60,6 +75,40 @@ def lib() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return lib() is not None
+
+
+_UDP: Optional[ctypes.CDLL] = None
+_UDP_TRIED = False
+
+
+def udp_lib() -> Optional[ctypes.CDLL]:
+    """The native UDP transport (udp_comm.cpp), built on first use;
+    None if unavailable (callers fall back to Python sockets)."""
+    global _UDP, _UDP_TRIED
+    if _UDP is not None or _UDP_TRIED:
+        return _UDP
+    _UDP_TRIED = True
+    L = _load("udp_comm", "-pthread")
+    if L is None:
+        return None
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    L.udp_create.argtypes = [ctypes.c_int]
+    L.udp_create.restype = ctypes.c_int
+    L.udp_send.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+                           U8P, ctypes.c_int]
+    L.udp_send.restype = ctypes.c_int
+    L.udp_recv.argtypes = [ctypes.c_int, U8P, ctypes.c_int,
+                           ctypes.POINTER(ctypes.c_uint32),
+                           ctypes.POINTER(ctypes.c_uint16)]
+    L.udp_recv.restype = ctypes.c_int
+    L.udp_pending.argtypes = [ctypes.c_int]
+    L.udp_pending.restype = ctypes.c_int
+    L.udp_dropped.argtypes = [ctypes.c_int]
+    L.udp_dropped.restype = ctypes.c_long
+    L.udp_close.argtypes = [ctypes.c_int]
+    L.udp_close.restype = None
+    _UDP = L
+    return _UDP
 
 
 def parse_g2o(path: str):

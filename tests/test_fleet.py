@@ -33,7 +33,11 @@ def _warm_sim(ticks=260):
     return sim
 
 
-def _flat_cmp(a, b, atol=1e-5):
+def _flat_cmp(a, b, atol=1e-3):
+    # Batched (vmap) and host-loop paths are separately jitted programs;
+    # XLA fusion differences give last-bits float32 drift that GN
+    # iterations amplify to ~1e-4. 1e-3 (≈1 mm / 1 mrad) still pins
+    # semantic equivalence of the exchange round.
     la = jax.tree_util.tree_leaves(a)
     lb = jax.tree_util.tree_leaves(b)
     assert len(la) == len(lb)
