@@ -8,11 +8,14 @@ driver-set target (the reference itself publishes no numbers — BASELINE.md).
 """
 
 import json
+import platform
 import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+# hostname-keyed: AOT cache artifacts are machine-specific (see conftest)
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_tpu_cache_{platform.node()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from __graft_entry__ import _build_batch  # noqa: E402

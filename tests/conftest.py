@@ -20,12 +20,19 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import platform  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: repeat test runs skip XLA recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# Keyed by hostname — CPU AOT artifacts embed the build machine's ISA
+# features, and reusing a cache written on a different host mixes
+# incompatible codegen into the run (XLA warns of SIGILL risk and the
+# gather/scatter strategy drift breaks bitwise-reproducibility tests).
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_test_cache_{platform.node()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

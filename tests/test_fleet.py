@@ -36,14 +36,22 @@ def _warm_sim(ticks=260):
 def _flat_cmp(a, b, atol=1e-3):
     # Batched (vmap) and host-loop paths are separately jitted programs;
     # XLA fusion differences give last-bits float32 drift that GN
-    # iterations amplify to ~1e-4. 1e-3 (≈1 mm / 1 mrad) still pins
-    # semantic equivalence of the exchange round.
+    # iterations amplify. Integer/bool leaves (graph structure, counts,
+    # accepted closures) must match EXACTLY — that pins the semantics.
+    # Float leaves get atol=1e-3 (≈1 mm / 1 mrad) plus a leaf-scale term:
+    # condensed-star information matrices are covariance inverses, whose
+    # absolute error scales with ||Lambda|| * kappa * eps (cancellation),
+    # so entries of a ~1e4-scale matrix legitimately drift by ~1e-2.
     la = jax.tree_util.tree_leaves(a)
     lb = jax.tree_util.tree_leaves(b)
     assert len(la) == len(lb)
     for x, y in zip(la, lb):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   atol=atol)
+        x, y = np.asarray(x), np.asarray(y)
+        if x.dtype == bool or np.issubdtype(x.dtype, np.integer):
+            np.testing.assert_array_equal(x, y)
+            continue
+        scale = float(np.abs(y).max()) if y.size else 0.0
+        np.testing.assert_allclose(x, y, atol=atol + 1e-5 * scale)
 
 
 def test_fleet_round_matches_host_loop():
