@@ -116,18 +116,38 @@ def cmd_srslam(argv):
     _common_flags(p)
     p.add_argument("--load", default=None,
                    help="resume from a .g2o checkpoint")
+    p.add_argument("--carmen", default=None,
+                   help="replay a CARMEN .clf log instead of the "
+                        "synthetic world (the bag-replay path, "
+                        "README.md:77-93)")
     a = p.parse_args(argv)
 
     from cg_mrslam_tpu.pipeline.slam import SingleRobotSlam
     from cg_mrslam_tpu.sim import world as W
 
     cfg = _build_config(a)
-    world = W.hospital_world(a.world_width, a.world_height, seed=a.seed)
-    wps = W.corridor_waypoints(a.world_width, a.world_height, 0, a.loops)
-    fov = 2 * np.pi * 0.75
-    traj = W.simulate_robot(world, wps, seed=a.seed + 1, beams=a.beams,
-                            fov=fov, max_range=a.max_range,
-                            odom_noise=tuple(a.odom_noise))
+    if a.carmen:
+        from cg_mrslam_tpu.io import carmen
+
+        log = carmen.read(a.carmen, beams=a.beams,
+                          max_range=a.max_range)
+        fov = log.fov
+
+        class _Replay:
+            gt = log.odom
+            rel_odom = log.rel_odom()
+            ranges = log.ranges
+        traj = _Replay()
+    else:
+        world = W.hospital_world(a.world_width, a.world_height,
+                                 seed=a.seed)
+        wps = W.corridor_waypoints(a.world_width, a.world_height, 0,
+                                   a.loops)
+        fov = 2 * np.pi * 0.75
+        traj = W.simulate_robot(world, wps, seed=a.seed + 1,
+                                beams=a.beams, fov=fov,
+                                max_range=a.max_range,
+                                odom_noise=tuple(a.odom_noise))
     if a.load:
         slam = SingleRobotSlam.resume(cfg, a.load)
         print(f"resumed from {a.load}: "
