@@ -48,13 +48,23 @@ def _common_flags(p: argparse.ArgumentParser):
                    default=(0.01, 0.004))
     p.add_argument("--max-vertices", type=int, default=512)
     p.add_argument("--max-edges", type=int, default=2048)
+    # map parameters (reference cg_mrslam.cpp:109-117; infinity filling
+    # is hardcoded ON at 5.0 in the reference's live runs, :134)
     p.add_argument("--map-resolution", type=float, default=0.05)
+    p.add_argument("--occupied-threshold", type=float, default=0.65)
+    p.add_argument("--free-threshold", type=float, default=0.196)
+    p.add_argument("--map-gain", type=float, default=3.0)
+    p.add_argument("--square-size", type=int, default=0)
+    p.add_argument("--map-angle", type=float, default=0.0,
+                   help="map base rotation [rad] (reference default pi/2)")
+    p.add_argument("--usable-range", type=float, default=-1.0)
+    p.add_argument("--infinity-filling-range", type=float, default=5.0)
     p.add_argument("--no-map", action="store_true")
 
 
 def _build_config(a, n_robots: int = 1):
-    from cg_mrslam_tpu.config import (Config, MatcherConfig, MRConfig,
-                                      SlamConfig)
+    from cg_mrslam_tpu.config import (Config, MapConfig, MatcherConfig,
+                                      MRConfig, SlamConfig)
 
     return Config(
         slam=SlamConfig(
@@ -68,6 +78,13 @@ def _build_config(a, n_robots: int = 1):
             min_inliers_mr=getattr(a, "minInliersMR", 5),
             window_mr_loop_closure=getattr(a, "windowMRLoopClosure", 10),
             sim_comm_range=getattr(a, "commRange", 5.0)),
+        map=MapConfig(
+            resolution=a.map_resolution,
+            occupied_threshold=a.occupied_threshold,
+            free_threshold=a.free_threshold,
+            gain=a.map_gain, square_size=a.square_size,
+            angle=a.map_angle, usable_range=a.usable_range,
+            infinity_filling_range=a.infinity_filling_range),
         close_matcher=MatcherConfig(
             extent=30.0, resolution=a.resolution, kernel_radius=0.2,
             max_score=a.maxScore),
@@ -95,19 +112,32 @@ def _save_outputs(name: str, slam_state, cfg, a, robot_id: int = 0):
     print(f"wrote {path}")
 
     if not a.no_map:
+        mc = cfg.map
         poses_np = np.asarray(slam_state.graph.poses)[
             np.asarray(slam_state.graph.vmask)]
+        if mc.angle != 0.0:  # bounding box of the rotated poses
+            c, s = math.cos(mc.angle), math.sin(mc.angle)
+            x, y = poses_np[:, 0].copy(), poses_np[:, 1].copy()
+            poses_np = poses_np.copy()
+            poses_np[:, 0] = c * x - s * y
+            poses_np[:, 1] = s * x + c * y
         center = OCC.map_center(poses_np, pad=a.max_range)
         span = (poses_np[:, :2].max(0) - poses_np[:, :2].min(0)).max() \
             + 2 * a.max_range
-        cells = int(np.ceil(span / a.map_resolution / 128.0)) * 128
+        cells = int(np.ceil(span / mc.resolution / 128.0)) * 128
         grid = OCC.integrate(
             slam_state.graph.poses, slam_state.scans,
             jnp.asarray(center), cells=cells,
-            resolution=a.map_resolution, max_range=a.max_range)
-        tri = np.asarray(OCC.threshold(grid))
+            resolution=mc.resolution, max_range=a.max_range,
+            usable_range=mc.usable_range, gain=mc.gain,
+            square_size=mc.square_size,
+            infinity_filling_range=mc.infinity_filling_range,
+            angle=mc.angle, robot_fill=mc.robot_fill)
+        tri = np.asarray(OCC.threshold(
+            grid, occupied_threshold=mc.occupied_threshold,
+            free_threshold=mc.free_threshold))
         OCC.save_pgm_yaml(f"robot-{robot_id}-{name}-map", tri, center,
-                          a.map_resolution)
+                          mc.resolution)
         print(f"wrote robot-{robot_id}-{name}-map.pgm/.yaml")
 
 

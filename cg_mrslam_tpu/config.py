@@ -131,16 +131,23 @@ class MRConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MapConfig:
-    """Occupancy grid parameters (cg_mrslam.cpp:109-117)."""
+    """Occupancy grid parameters (cg_mrslam.cpp:109-117). Every field is
+    consumed by ``maps.occupancy.integrate``/``threshold`` via the CLI
+    (``cli._save_outputs``)."""
 
     resolution: float = 0.05
     occupied_threshold: float = 0.65
     free_threshold: float = 0.196
     gain: float = 3.0
     square_size: int = 0          # endpoint splat half-width (cells)
-    angle: float = math.pi / 2
+    angle: float = math.pi / 2    # base transform (graph2occupancy.cpp:52)
     usable_range: float = -1.0    # <0 → use sensor max range
-    infinity_filling_range: float = -1.0
+    # invalid/max-range beams trace free space to this range; the
+    # reference's live runs hardcode 5.0 after init (cg_mrslam.cpp:134)
+    infinity_filling_range: float = 5.0
+    # robot-footprint miss splat half-width (fillRobotPose sizeRobot=4,
+    # frequency_map.cpp:94); <0 disables
+    robot_fill: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -50,31 +50,66 @@ def _cell_of(p, center, cells, resolution):
     return jnp.floor(rel).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cells", "resolution", "max_range"))
+@partial(jax.jit, static_argnames=("cells", "resolution", "max_range",
+                                   "usable_range", "gain", "square_size",
+                                   "infinity_filling_range", "angle",
+                                   "robot_fill"))
 def integrate(poses: jax.Array, scans: ScanSet, center: jax.Array, *,
               cells: int, resolution: float, max_range: float,
-              usable_range: float = -1.0, gain: float = 3.0
-              ) -> OccupancyGrid:
+              usable_range: float = -1.0, gain: float = 3.0,
+              square_size: int = 0,
+              infinity_filling_range: float = -1.0,
+              angle: float = 0.0, robot_fill: int = 4) -> OccupancyGrid:
     """Hit/miss grids from every stored scan at its (optimized) pose.
 
     ``poses [N,3]`` are the graph estimates; scans/mask come from the
-    ScanSet aligned with the vertex slots. ``usable_range < 0`` means use
-    the sensor max range (reference ``cg_mrslam.cpp:110``,
-    ``frequency_map.cpp:39-50`` crop semantics: beams beyond usable range
-    trace free space up to the crop but score no hit).
+    ScanSet aligned with the vertex slots. Beam classification follows the
+    reference's exact branch order (``frequency_map.cpp:31-50``):
+
+    1. ``usable_range < 0`` → use the sensor max range
+       (``cg_mrslam.cpp:110`` default, ``frequency_map.cpp:29-30``);
+    2. ``r > usable`` → crop to usable, trace free space, score no hit;
+    3. then ``r >= max_range or r <= 0`` (note: a beam cropped to
+       ``usable == max_range`` ALSO lands here): with
+       ``infinity_filling_range > 0`` the beam traces free space to that
+       range and scores no hit; otherwise it is skipped entirely
+       (``frequency_map.cpp:39-50``). The reference's live runs set
+       5.0 m unconditionally (``cg_mrslam.cpp:134``).
+
+    Endpoints splat hits over a ``(2·square_size+1)²`` cell square with
+    ``gain`` (``frequency_map.cpp:63-71``); the Bresenham line includes
+    the endpoint cell, so every reaching beam also scores one endpoint
+    miss (``grid_line_traversal`` inclusive of ``end``). ``angle``
+    pre-rotates all poses (``graph2occupancy.cpp:52`` base transform,
+    default π/2 at ``cg_mrslam.cpp:116``). ``robot_fill`` marks a
+    ``(2·robot_fill+1)²`` square of misses at each robot pose
+    (``fillRobotPose``, ``frequency_map.cpp:89-103``; 4 px hardcoded) —
+    pass <0 to disable.
     """
     usable = usable_range if usable_range > 0 else max_range
+    if angle != 0.0:
+        base = jnp.asarray([0.0, 0.0, angle], poses.dtype)
+        poses = se2.compose(base, poses)
+    trace_cap = usable if infinity_filling_range <= 0 else max(
+        usable, infinity_filling_range)
     step = resolution / math.sqrt(2.0)
-    n_samples = int(math.ceil(usable / step)) + 1
+    n_samples = int(math.ceil(trace_cap / step)) + 1
 
     a = beam_angles(scans)                                   # [B]
     world_ang = poses[:, 2:3] + a[None, :]                   # [N,B]
     origin = se2.apply(poses, scans.laser_offset[None, :2])[:, 0, :]  # [N,2]
 
-    r = jnp.minimum(scans.ranges, usable)                    # [N,B]
-    beam_ok = scans.smask[:, None] & (scans.ranges > 0.0)
-    is_hit = beam_ok & (scans.ranges < usable * 0.9999) & (
-        scans.ranges < scans.max_range * 0.9999)
+    r_raw = scans.ranges
+    cropped = r_raw > usable                                 # [N,B]
+    r = jnp.minimum(r_raw, usable)
+    invalid = (r >= max_range) | (r <= 0.0)                  # post-crop test
+    if infinity_filling_range > 0:
+        r = jnp.where(invalid, infinity_filling_range, r)
+        cropped = cropped | invalid
+        beam_ok = scans.smask[:, None]
+    else:
+        beam_ok = scans.smask[:, None] & ~invalid
+    is_hit = beam_ok & ~cropped
 
     dirx = jnp.cos(world_ang)
     diry = jnp.sin(world_ang)
@@ -100,7 +135,37 @@ def integrate(poses: jax.Array, scans: ScanSet, center: jax.Array, *,
     ey = origin[:, 1:2] + diry * r
     ecell = _cell_of(jnp.stack([ex, ey], -1), center, cells, resolution)
     einb = jnp.all((ecell >= 0) & (ecell < cells), axis=-1)
-    eidx = jnp.where((is_hit & einb)[..., None], ecell, cells)
+    # the Bresenham line is endpoint-inclusive: every reaching beam puts
+    # one miss on its endpoint cell (grid_line_traversal.cpp + :56-58)
+    emiss = jnp.where((beam_ok & einb)[..., None], ecell, cells)
+    misses = misses.at[emiss[..., 1].reshape(-1),
+                       emiss[..., 0].reshape(-1)].add(1.0, mode="drop")
+
+    # robot-footprint misses (fillRobotPose; per integrated scan)
+    if robot_fill >= 0:
+        rf = robot_fill
+        roff = jnp.stack(jnp.meshgrid(
+            jnp.arange(-rf, rf + 1), jnp.arange(-rf, rf + 1),
+            indexing="ij"), -1).reshape(-1, 2)               # [(2rf+1)²,2]
+        rcell = _cell_of(poses[:, :2], center, cells, resolution)  # [N,2]
+        rsq = rcell[:, None, :] + roff[None, :, :]           # [N,F,2]
+        rinb = jnp.all((rsq >= 0) & (rsq < cells), axis=-1) \
+            & scans.smask[:, None]
+        ridx = jnp.where(rinb[..., None], rsq, cells)
+        misses = misses.at[ridx[..., 1].reshape(-1),
+                           ridx[..., 0].reshape(-1)].add(1.0, mode="drop")
+
+    # endpoint hit splat over the (2s+1)² square (frequency_map.cpp:63-71;
+    # square cells are bounds-checked individually, so only the center
+    # cell's in-bounds test gates the whole splat — matching `continue`)
+    s = square_size
+    off = jnp.stack(jnp.meshgrid(
+        jnp.arange(-s, s + 1), jnp.arange(-s, s + 1),
+        indexing="ij"), -1).reshape(-1, 2)                   # [(2s+1)²,2]
+    esq = ecell[:, :, None, :] + off[None, None, :, :]       # [N,B,F,2]
+    sinb = jnp.all((esq >= 0) & (esq < cells), axis=-1)
+    eidx = jnp.where((is_hit & einb)[..., None, None] & sinb[..., None],
+                     esq, cells)
     hits = jnp.zeros((cells + 1, cells + 1), jnp.float32)
     hits = hits.at[eidx[..., 1].reshape(-1),
                    eidx[..., 0].reshape(-1)].add(gain, mode="drop")

@@ -63,6 +63,7 @@ class RobotNode:
         self._ping_time = np.full(self.R, -np.inf)
         self._peer_pos = np.full((self.R, 2), np.inf)
         self._last_combo_sent = -1  # n_vertices at last combo broadcast
+        self._last_send_t = -np.inf  # sender-thread cadence bookkeeping
         self.ping_events: List[Tuple[float, int, int]] = []  # (t, me, src)
         self.stats = {"sent": 0, "received": 0, "keyframes": 0,
                       "decode_errors": 0}
@@ -143,14 +144,22 @@ class RobotNode:
             self.state = MR.receive_graph_msg(self.state, msg, live)
 
     def comm_round(self, t: float) -> None:
-        """One synchronous pass of the reference's three comm threads."""
-        # 1. beacon (comm_publisher.cpp:50-82; carries my position for
-        #    cross-process SIM gating)
-        ping = wire.encode(wire.Ping(self.id, float(self._gt[0]),
-                                     float(self._gt[1])))
-        for peer in range(self.R):
-            if peer != self.id:
-                self.transport.send(peer, ping)
+        """One synchronous pass of the reference's three comm threads.
+
+        Receiving/processing runs every call (the reference's receiver
+        thread blocks on the socket continuously); beacon + data sends
+        are gated to the sender-thread cadence ``send_period``
+        (150 ms default, ``graph_comm.cpp:152``)."""
+        send_due = (t - self._last_send_t) >= self.cfg.mr.send_period
+        if send_due:
+            self._last_send_t = t
+            # 1. beacon (comm_publisher.cpp:50-82; carries my position
+            #    for cross-process SIM gating)
+            ping = wire.encode(wire.Ping(self.id, float(self._gt[0]),
+                                         float(self._gt[1])))
+            for peer in range(self.R):
+                if peer != self.id:
+                    self.transport.send(peer, ping)
 
         # 2. drain + process (receiveFromThrd/processQueueThrd)
         for buf in self.transport.drain():
@@ -173,6 +182,8 @@ class RobotNode:
         self.state = MR.vote_inter_robot(self.state, self.cfg)
 
         # 4. gated sends (sendToThrd, graph_comm.cpp:126-154)
+        if not send_due:
+            return
         peers = [p for p in range(self.R) if self.connected(p, t)]
         if not peers:
             return

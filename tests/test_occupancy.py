@@ -8,30 +8,103 @@ from cg_mrslam_tpu.maps import occupancy as OCC
 from cg_mrslam_tpu.sim import world as W
 
 
-def test_single_beam_semantics():
-    # one robot at origin, one beam along +x of range 2.0 (hit), max 5
+def _one_beam_scans():
+    # one robot at origin, one beam along +x of range 2.0 (hit), max 5;
+    # the remaining beams read exactly max_range ("no return")
     scans = S.empty(4, 8, first_beam_angle=0.0, angular_step=0.1,
                     max_range=5.0)
     ranges = np.full(8, 5.0, np.float32)
     ranges[0] = 2.0
-    scans = S.set_scan(scans, 0, jnp.asarray(ranges))
+    return S.set_scan(scans, 0, jnp.asarray(ranges))
+
+
+def _cell(x, y, res=0.1, half=64):
+    return (int(np.floor(y / res + half)), int(np.floor(x / res + half)))
+
+
+def test_single_beam_semantics():
+    scans = _one_beam_scans()
     poses = jnp.zeros((4, 3), jnp.float32)
     grid = OCC.integrate(poses, scans, jnp.zeros(2, jnp.float32),
                          cells=128, resolution=0.1, max_range=5.0)
     tri = np.asarray(OCC.threshold(grid))
 
-    def cell(x, y):
-        return (int(np.floor(y / 0.1 + 64)), int(np.floor(x / 0.1 + 64)))
-
     # beam 0: free along the ray, occupied at the endpoint
     for x in (0.3, 1.0, 1.7):
-        assert tri[cell(x, 0.0)] == OCC.FREE, x
-    assert tri[cell(2.0, 0.0)] == OCC.OCCUPIED
+        assert tri[_cell(x, 0.0)] == OCC.FREE, x
+    assert tri[_cell(2.0, 0.0)] == OCC.OCCUPIED
     # beyond the endpoint: unknown
-    assert tri[cell(3.0, 0.0)] == OCC.UNKNOWN
-    # max-range beams trace free space but score no hit
-    iy, ix = cell(3.0 * np.cos(0.3), 3.0 * np.sin(0.3))
+    assert tri[_cell(3.0, 0.0)] == OCC.UNKNOWN
+    # invalid (>= maxRange) beams are skipped entirely when infinity
+    # filling is off (frequency_map.cpp:39-50 `continue` branch)
+    iy, ix = _cell(3.0 * np.cos(0.3), 3.0 * np.sin(0.3))
+    assert tri[iy, ix] == OCC.UNKNOWN
+
+
+def test_infinity_filling_range():
+    # reference live runs: invalid beams trace free space to 5.0 m
+    # (cg_mrslam.cpp:134); here fill to 3.0 on a 5.0 max-range sensor
+    scans = _one_beam_scans()
+    poses = jnp.zeros((4, 3), jnp.float32)
+    grid = OCC.integrate(poses, scans, jnp.zeros(2, jnp.float32),
+                         cells=128, resolution=0.1, max_range=5.0,
+                         infinity_filling_range=3.0)
+    tri = np.asarray(OCC.threshold(grid))
+    # along an invalid beam: free up to the filling range, no hit at it,
+    # unknown beyond
+    iy, ix = _cell(2.0 * np.cos(0.3), 2.0 * np.sin(0.3))
     assert tri[iy, ix] == OCC.FREE
+    iy, ix = _cell(3.05 * np.cos(0.3), 3.05 * np.sin(0.3))
+    assert tri[iy, ix] != OCC.OCCUPIED
+    iy, ix = _cell(4.0 * np.cos(0.3), 4.0 * np.sin(0.3))
+    assert tri[iy, ix] == OCC.UNKNOWN
+    # the real beam still hits
+    assert tri[_cell(2.0, 0.0)] == OCC.OCCUPIED
+
+
+def test_square_size_splat():
+    scans = _one_beam_scans()
+    poses = jnp.zeros((4, 3), jnp.float32)
+    g0 = OCC.integrate(poses, scans, jnp.zeros(2, jnp.float32),
+                       cells=128, resolution=0.1, max_range=5.0)
+    g1 = OCC.integrate(poses, scans, jnp.zeros(2, jnp.float32),
+                       cells=128, resolution=0.1, max_range=5.0,
+                       square_size=1)
+    h0 = np.asarray(g0.hits)
+    h1 = np.asarray(g1.hits)
+    iy, ix = _cell(2.0, 0.0)
+    # endpoint splat covers the full (2s+1)^2 square with gain
+    # (frequency_map.cpp:63-71)
+    assert h0[iy, ix] > 0 and h0[iy + 1, ix] == 0
+    assert (h1[iy - 1:iy + 2, ix - 1:ix + 2] > 0).all()
+    assert np.isclose(h1[iy - 1:iy + 2, ix - 1:ix + 2].sum(),
+                      9 * h0[iy, ix])
+
+
+def test_robot_fill_and_angle():
+    scans = _one_beam_scans()
+    poses = jnp.zeros((4, 3), jnp.float32).at[0, :2].set(
+        jnp.asarray([1.0, 1.0], jnp.float32))
+    # robot footprint reads FREE (fillRobotPose misses splat)
+    grid = OCC.integrate(poses, scans, jnp.zeros(2, jnp.float32),
+                         cells=128, resolution=0.1, max_range=5.0,
+                         robot_fill=4)
+    tri = np.asarray(OCC.threshold(grid))
+    assert tri[_cell(1.0, 1.0)] == OCC.FREE
+    grid_no = OCC.integrate(poses, scans, jnp.zeros(2, jnp.float32),
+                            cells=128, resolution=0.1, max_range=5.0,
+                            robot_fill=-1)
+    tri_no = np.asarray(OCC.threshold(grid_no))
+    assert tri_no[_cell(1.0, 0.7)] == OCC.UNKNOWN  # off-ray, no footprint
+    # angle: pi/2 base transform rotates the whole map
+    # (graph2occupancy.cpp:52) — the robot sits at (1,1)->(-1,1)
+    grid_rot = OCC.integrate(poses, scans, jnp.zeros(2, jnp.float32),
+                             cells=128, resolution=0.1, max_range=5.0,
+                             robot_fill=4, angle=float(np.pi / 2))
+    tri_rot = np.asarray(OCC.threshold(grid_rot))
+    assert tri_rot[_cell(-1.0, 1.0)] == OCC.FREE
+    # the hit endpoint (3,1) rotates to (-1,3)
+    assert tri_rot[_cell(-1.0, 3.0)] == OCC.OCCUPIED
 
 
 def test_map_from_sim_matches_world():
@@ -49,8 +122,11 @@ def test_map_from_sim_matches_world():
     poses = jnp.zeros((8, 3), jnp.float32).at[:4].set(jnp.asarray(gt))
 
     center = jnp.asarray([8.0, 5.0], jnp.float32)
+    # infinity filling ON at 5.0 like the reference's live runs
+    # (cg_mrslam.cpp:134): corridor-axis beams beyond max range still
+    # trace free space near the robot
     grid = OCC.integrate(poses, scans, center, cells=400, resolution=0.05,
-                         max_range=mr)
+                         max_range=mr, infinity_filling_range=5.0)
     tri = np.asarray(OCC.threshold(grid))
 
     # corridor interior should be FREE, wall cells OCCUPIED
