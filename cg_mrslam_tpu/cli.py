@@ -161,13 +161,18 @@ def cmd_srslam(argv):
 
         log = carmen.read(a.carmen, beams=a.beams,
                           max_range=a.max_range)
-        fov = log.fov
-
-        class _Replay:
-            gt = log.odom
-            rel_odom = log.rel_odom()
-            ranges = log.ranges
-        traj = _Replay()
+        # real-log geometry is explicit: true start angle + beam spacing,
+        # the measured base→laser offset, and NOISY ODOMETRY as the
+        # initial estimate (a log carries no ground truth)
+        init_pose = log.odom[0]
+        rel_seq = log.rel_odom()
+        ranges_seq = log.ranges
+        slam_kw = dict(
+            fov=log.fov, max_range=log.max_range,
+            laser_offset=tuple(log.laser_offset()),
+            first_beam_angle=log.start_angle,
+            angular_step=log.angular_step)
+        beams = log.ranges.shape[1]
     else:
         world = W.hospital_world(a.world_width, a.world_height,
                                  seed=a.seed)
@@ -178,16 +183,21 @@ def cmd_srslam(argv):
                                 beams=a.beams, fov=fov,
                                 max_range=a.max_range,
                                 odom_noise=tuple(a.odom_noise))
+        init_pose = traj.gt[0]
+        rel_seq = traj.rel_odom
+        ranges_seq = traj.ranges
+        slam_kw = dict(fov=fov, max_range=a.max_range)
+        beams = a.beams
     if a.load:
         slam = SingleRobotSlam.resume(cfg, a.load)
         print(f"resumed from {a.load}: "
               f"{int(slam.state.graph.n_vertices)} vertices")
     else:
-        slam = SingleRobotSlam(cfg, a.beams, traj.gt[0], traj.ranges[0],
-                               fov, a.max_range)
-    T = len(traj.gt) if not a.ticks else min(a.ticks, len(traj.gt))
+        slam = SingleRobotSlam(cfg, beams, init_pose, ranges_seq[0],
+                               **slam_kw)
+    T = len(ranges_seq) if not a.ticks else min(a.ticks, len(ranges_seq))
     for t in range(1, T):
-        if slam.observe(traj.rel_odom[t - 1], traj.ranges[t]):
+        if slam.observe(rel_seq[t - 1], ranges_seq[t]):
             i = slam.infos[-1]
             print(f"keyframe {int(slam.state.graph.n_vertices)-1}: "
                   f"sm={int(i.sm_accepted)} closures=+{int(i.closures_added)} "

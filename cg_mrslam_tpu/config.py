@@ -94,6 +94,13 @@ class SlamConfig:
     window_loop_closure: int = 10
     min_inliers: int = 7
     inlier_threshold: float = 2.0
+    # candidate components are widened by vertices within ±gap ids of a
+    # member before matching (addNeighboringVertices, graph_slam.cpp:399)
+    neighbor_gap: int = 8
+    # own vertices within this id gap of the current one get a DIRECT
+    # close-match edge; larger gaps (or foreign vertices) go through the
+    # windowed loop-closure vote (graph_slam.cpp:416)
+    direct_id_gap: int = 10
     # optimization budget per keyframe (cg_mrslam.cpp:225, graph_slam.cpp:392)
     gn_iterations: int = 5
     pre_optimize_iterations: int = 1
@@ -127,6 +134,11 @@ class MRConfig:
     ping_timeout: float = 10.0
     send_period: float = 0.15      # sender thread cadence (graph_comm.cpp:152)
     max_datagram: int = 100_000    # msg_factory.h:115
+    # wire message capacities (static shapes; the reference's messages are
+    # variable-length). Overflow is COUNTED (ClosureList.dropped /
+    # StarMsg.dropped → Recorder), never silent.
+    closure_list_cap: int = 16     # boundary vertices per condensed request
+    star_edges_cap: int = 16       # virtual edges per star
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,6 +180,10 @@ class Config:
     max_vertices: int = 1024
     max_edges: int = 4096
     max_beams: int = 1024
+    # fused-step capacities (overflow beyond them is COUNTED in StepInfo/
+    # Recorder — no silent truncation; the reference visits all components)
+    max_regions: int = 4        # simultaneous loop-closure components
+    region_vertices: int = 16   # scans rasterized into one region's grid
 
 
 DEFAULT = Config()

@@ -64,6 +64,48 @@ def set_scan(s: ScanSet, index, ranges: jax.Array) -> ScanSet:
     )
 
 
+def resample_scan_np(ranges, src_fba: float, src_step: float,
+                     src_maxr: float, dst_beams: int, dst_fba: float,
+                     dst_step: float, dst_maxr: float):
+    """Angle-exact host-side resample of one scan ``[B_src]`` (or a stack
+    ``[T, B_src]``) onto a different beam grid.
+
+    Used when a peer's laser geometry differs from the receiver's (the
+    reference ships ``minangle/angleincrement/maxrange`` per
+    RobotLaserMessage, ``msg_factory.h:162-181``) and when ingesting logs
+    whose geometry differs from the pipeline's ScanSet. Correctness
+    details that a naive ``np.interp`` over a normalized [0,1] axis gets
+    wrong:
+
+    * interpolation is over REAL beam angles, honoring both start angles
+      and both steps (endpoint-inclusive vs exclusive conventions enter
+      only through the caller's ``step`` values);
+    * invalid returns (``<= 0`` or ``>= max_range``) must not blend into
+      neighbours — any destination beam whose bracketing source beams
+      include an invalid one snaps to ``dst_maxr`` (no phantom hits at
+      depth discontinuities);
+    * destination beams outside the source fov read ``dst_maxr``.
+    """
+    import numpy as np
+
+    ranges = np.asarray(ranges, np.float32)
+    squeeze = ranges.ndim == 1
+    rows = ranges[None] if squeeze else ranges
+    b_src = rows.shape[-1]
+    src_a = src_fba + src_step * np.arange(b_src)
+    dst_a = dst_fba + dst_step * np.arange(dst_beams)
+    out = np.empty((rows.shape[0], dst_beams), np.float32)
+    for t in range(rows.shape[0]):
+        r = rows[t]
+        invalid = (r <= 0.0) | (r >= src_maxr * 0.9999)
+        vals = np.interp(dst_a, src_a, np.minimum(r, src_maxr))
+        inv = np.interp(dst_a, src_a, invalid.astype(np.float64))
+        oob = (dst_a < src_a[0] - 1e-9) | (dst_a > src_a[-1] + 1e-9)
+        vals = np.where((inv > 1e-9) | oob, dst_maxr, vals)
+        out[t] = np.minimum(vals, dst_maxr)
+    return out[0] if squeeze else out
+
+
 def beam_angles(s: ScanSet) -> jax.Array:
     b = s.ranges.shape[-1]
     return s.first_beam_angle + s.angular_step * jnp.arange(b, dtype=jnp.float32)

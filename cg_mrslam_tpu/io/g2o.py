@@ -29,6 +29,7 @@ class LoadedGraph:
     ids: np.ndarray                # [N] int64 original g2o vertex ids (-1 unused)
     scans: Optional[S.ScanSet]     # aligned with graph slots, or None
     laser_meta: Dict               # raw ROBOTLASER1 trailing fields per slot
+    has_edge_meta: bool = False    # CGM_EDGE_META provenance lines present
 
 
 def _parse_robotlaser(tok: List[str]):
@@ -63,6 +64,34 @@ def _parse_robotlaser(tok: List[str]):
     )
 
 
+def _read_edge_meta(path: str) -> Dict[int, Tuple[int, int]]:
+    """Collect ``# CGM_EDGE_META <ordinal> <owner> <level>`` comment
+    lines (written by :func:`save`; ordinal = position among EDGE_SE2
+    lines in file order). External .g2o files simply have none."""
+    meta: Dict[int, Tuple[int, int]] = {}
+    with open(path) as f:
+        for line in f:
+            if line.startswith("# CGM_EDGE_META"):
+                tok = line.split()
+                meta[int(tok[2])] = (int(tok[3]), int(tok[4]))
+    return meta
+
+
+def _apply_edge_meta(loaded: "LoadedGraph", path: str) -> "LoadedGraph":
+    meta = _read_edge_meta(path)
+    if not meta:
+        return loaded
+    g = loaded.graph
+    e_owner = np.asarray(g.e_owner).copy()
+    e_level = np.asarray(g.e_level).copy()
+    for ordinal, (owner, level) in meta.items():
+        e_owner[ordinal] = owner
+        e_level[ordinal] = level
+    g = dataclasses.replace(g, e_owner=jnp.asarray(e_owner, jnp.int32),
+                            e_level=jnp.asarray(e_level, jnp.int32))
+    return dataclasses.replace(loaded, graph=g, has_edge_meta=True)
+
+
 def load(path: str, max_vertices: int | None = None,
          max_edges: int | None = None, beams: int | None = None,
          dtype=jnp.float32, native: bool = True) -> LoadedGraph:
@@ -71,8 +100,9 @@ def load(path: str, max_vertices: int | None = None,
 
         parsed = N.parse_g2o(path)
         if parsed is not None:
-            return _from_native(parsed, max_vertices, max_edges, beams,
-                                dtype)
+            return _apply_edge_meta(
+                _from_native(parsed, max_vertices, max_edges, beams,
+                             dtype), path)
     vertices: List[Tuple[int, np.ndarray]] = []
     fixed_ids = set()
     edges = []
@@ -171,7 +201,9 @@ def load(path: str, max_vertices: int | None = None,
             laser_offset=off,
         )
 
-    return LoadedGraph(graph=g, ids=ids, scans=scans, laser_meta=laser_meta)
+    return _apply_edge_meta(
+        LoadedGraph(graph=g, ids=ids, scans=scans, laser_meta=laser_meta),
+        path)
 
 
 def _from_native(p: dict, max_vertices, max_edges, beams,
@@ -317,6 +349,9 @@ def save(path: str, g: G.PoseGraph, ids: np.ndarray | None = None,
                 )
             if fix[k]:
                 f.write(f"FIX {ids[k]}\n")
+        e_owner = np.asarray(g.e_owner)
+        e_level = np.asarray(g.e_level)
+        ordinal = 0
         for k in range(e_ij.shape[0]):
             if not emask[k]:
                 continue
@@ -328,3 +363,13 @@ def save(path: str, g: G.PoseGraph, ids: np.ndarray | None = None,
                 f"{z[0]:.6f} {z[1]:.6f} {z[2]:.6f} "
                 f"{w[0]:.6f} {w[1]:.6f} {w[2]:.6f} {w[3]:.6f} {w[4]:.6f} {w[5]:.6f}\n"
             )
+            # edge provenance as a comment (external g2o tools skip '#'):
+            # owner (creating robot, the own-edges rule input) + level
+            # (condensed-star channel). The .g2o format itself carries
+            # neither, which breaks multi-robot resume — a resumed graph
+            # would re-condense peer-derived information
+            # (condensed_graph_buffer.cpp:347-366's failure mode).
+            if e_owner[k] != 0 or e_level[k] != 0:
+                f.write(f"# CGM_EDGE_META {ordinal} "
+                        f"{int(e_owner[k])} {int(e_level[k])}\n")
+            ordinal += 1

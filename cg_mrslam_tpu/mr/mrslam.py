@@ -43,10 +43,12 @@ from cg_mrslam_tpu.pipeline.slam import (
 )
 from cg_mrslam_tpu.utils import se2
 
-# static message capacities (wire shape, not behaviour)
+# static message capacities (wire shape, not behaviour). The closure-list
+# and star capacities live in MRConfig (closure_list_cap/star_edges_cap);
+# these remain as defaults for cfg-less call sites.
 COMBO_POSES = 5        # reference ships last ≤5 poses (mr_graph_slam.cpp:572)
-CLOSURE_LIST = 16      # boundary vertices per condensed request
-STAR_EDGES = 16        # virtual edges per star
+CLOSURE_LIST = 16      # default MRConfig.closure_list_cap
+STAR_EDGES = 16        # default MRConfig.star_edges_cap
 GRAPH_MSG_V = 128      # GraphMessage fallback capacities
 GRAPH_MSG_E = 256
 
@@ -65,16 +67,62 @@ class MRState:
 
 
 class Combo(NamedTuple):
+    """VertexArray + RobotLaser diamond (reference ComboMessage,
+    ``msg_factory.h:183-199``). Beam geometry ships with every message
+    like the reference's ``minangle/angleincrement/maxrange`` fields
+    (``:162-181``) — receivers with different lasers resample instead of
+    mis-decoding."""
+
     robot: jax.Array    # [] int32 — sender id
     poses: jax.Array    # [C, 3] newest first
     idxs: jax.Array     # [C] int32 — sender-local keyframe indices
     valid: jax.Array    # [C] bool
     ranges: jax.Array   # [B] — scan of the newest vertex
+    first_beam_angle: jax.Array = jnp.float32(-jnp.pi / 2)  # [] rad
+    angular_step: jax.Array = jnp.float32(jnp.pi / 180)     # [] rad
+    max_range: jax.Array = jnp.float32(20.0)                # [] m
+
+
+class VertexArray(NamedTuple):
+    """Standalone vertex-estimate message (reference VertexArrayMessage,
+    type 1, ``msg_factory.h:141-160``)."""
+
+    robot: jax.Array    # [] int32
+    poses: jax.Array    # [C, 3]
+    idxs: jax.Array     # [C] int32 sender-local indices
+    valid: jax.Array    # [C] bool
+
+
+class RobotLaser(NamedTuple):
+    """Standalone laser message (reference RobotLaserMessage, type 2,
+    ``msg_factory.h:162-181``: nodeId + readings + laser params)."""
+
+    robot: jax.Array            # [] int32
+    node_id: jax.Array          # [] int32 — sender-local vertex index
+    ranges: jax.Array           # [B]
+    first_beam_angle: jax.Array  # [] rad (minangle)
+    angular_step: jax.Array      # [] rad (angleincrement)
+    max_range: jax.Array         # [] m
+    accuracy: jax.Array = jnp.float32(0.01)
+
+
+class EdgeArray(NamedTuple):
+    """Standalone edge message (reference EdgeArrayMessage, type 5,
+    ``msg_factory.h:200-221``: id pairs + estimate + 6 information
+    floats)."""
+
+    robot: jax.Array    # [] int32
+    ids: jax.Array      # [E, 2] int32 — sender-local index pairs
+    z: jax.Array        # [E, 3]
+    info: jax.Array     # [E, 6]
+    valid: jax.Array    # [E] bool
 
 
 class ClosureList(NamedTuple):
     idxs: jax.Array     # [L] int32 — RECEIVER-local vertex indices
     valid: jax.Array    # [L] bool
+    dropped: jax.Array = jnp.int32(0)  # [] — closures beyond capacity
+    #                                     (sender-side observability only)
 
 
 class StarMsg(NamedTuple):
@@ -83,6 +131,8 @@ class StarMsg(NamedTuple):
     z: jax.Array         # [K, 3]
     info: jax.Array      # [K, 6]
     valid: jax.Array     # [K] bool
+    dropped: jax.Array = jnp.int32(0)  # [] — boundary beyond capacity
+    #                                     (sender-side observability only)
 
 
 class GraphMsg(NamedTuple):
@@ -122,6 +172,49 @@ def init_mr_state(cfg: Config, beams: int, initial_pose, ranges,
     )
 
 
+def mr_state_from_g2o(cfg: Config, path: str, my_id: int) -> MRState:
+    """Multi-robot resume from a ``.g2o`` checkpoint written by this
+    framework. Edge provenance (owner/level) reloads from the
+    ``CGM_EDGE_META`` lines, so ``build_star``'s own-edges rule keeps
+    holding after resume — without them, peer-derived condensed edges
+    would be re-condensed and information double-counted (the exact
+    failure ``condensed_graph_buffer.cpp:347-366`` prevents).
+
+    ``out_closures`` (which peer vertices I accepted closures on — the
+    condensed-graph request list) is recovered from the graph itself: my
+    own level-0 edges whose far endpoint is peer-owned. ``in_closures``
+    (what peers accepted on MY vertices) cannot be recovered locally;
+    peers resend their closure lists every round, so it refills on the
+    first exchange (the protocol is resend-tolerant by design).
+    """
+    from cg_mrslam_tpu.pipeline.slam import state_from_g2o
+
+    slam = state_from_g2o(cfg, path, my_id)
+    n = cfg.max_vertices
+    r = cfg.mr.n_robots
+    w = cfg.mr.window_mr_loop_closure * 2
+    peer_buf = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (r,) + a.shape).copy(), CL.empty(w))
+
+    g = slam.graph
+    mine = G.own_edge_mask(g, my_id) & (g.e_level == 0)
+    vo = slam.v_owner
+    out_c = jnp.zeros((r, n), bool)
+    for endpoint in (0, 1):
+        tgt = g.e_ij[:, endpoint]
+        foreign = mine & (vo[tgt] != my_id) & g.vmask[tgt]
+        owner_row = jnp.where(foreign, vo[tgt], r)       # r = drop
+        out_c = out_c.at[owner_row, tgt].set(True, mode="drop")
+    return MRState(
+        slam=slam,
+        parked=jnp.zeros((n,), bool),
+        park_age=jnp.zeros((n,), jnp.int32),
+        peer_buf=peer_buf,
+        in_closures=jnp.zeros((r, n), bool),
+        out_closures=out_c,
+    )
+
+
 @jax.jit
 def find_slot(state: SlamState, owner, ridx) -> jax.Array:
     """My slot holding vertex ``ridx`` of robot ``owner``; N if absent."""
@@ -136,12 +229,16 @@ def build_combo(st: MRState) -> Combo:
     """My last ≤C own keyframes + newest scan
     (``constructComboMessage``, ``mr_graph_slam.cpp:564-605``)."""
     slots, ok = newest_own(st.slam, COMBO_POSES)
+    scans = st.slam.scans
     return Combo(
         robot=st.slam.my_id,
         poses=st.slam.graph.poses[slots],
         idxs=st.slam.v_remote[slots],
         valid=ok,
-        ranges=st.slam.scans.ranges[slots[0]],
+        ranges=scans.ranges[slots[0]],
+        first_beam_angle=scans.first_beam_angle,
+        angular_step=scans.angular_step,
+        max_range=scans.max_range,
     )
 
 
@@ -277,20 +374,21 @@ def vote_inter_robot(st: MRState, cfg: Config) -> MRState:
     def per_peer(st_slam_outc, peer):
         slam, out_c = st_slam_outc
         buf = jax.tree_util.tree_map(lambda a: a[peer], st.peer_buf)
-        buf = CL.tick(buf, cfg.mr.window_mr_loop_closure)
-        vote = CL.consistency_vote(
+        # reference cadence: checkList gate + per-keyframe update
+        # (mr_graph_slam.cpp:69-76, updateInterRobotClosures)
+        buf2, accept, _ = CL.windowed_vote(
             buf, slam.graph.poses,
+            window=cfg.mr.window_mr_loop_closure,
             inlier_threshold=cfg.slam.inlier_threshold,
             min_inliers=cfg.mr.min_inliers_mr)
-        g = CL.add_accepted(slam.graph, buf, vote.accept, owner=slam.my_id)
+        g = CL.add_accepted(slam.graph, buf, accept, owner=slam.my_id)
         # record accepted foreign targets for the closure list to `peer`
         n = slam.v_owner.shape[0]
-        tgt = jnp.where(vote.accept, buf.v_new, n)
+        tgt = jnp.where(accept, buf.v_new, n)
         out_c = out_c.at[peer].set(
             out_c[peer].at[tgt].set(True, mode="drop"))
-        buf = CL.consume(buf, vote.accept)
         slam = dataclasses.replace(slam, graph=g)
-        return (slam, out_c), buf
+        return (slam, out_c), buf2
 
     (slam, out_c), bufs = jax.lax.scan(
         per_peer, (slam, st.out_closures), jnp.arange(r, dtype=jnp.int32))
@@ -298,15 +396,19 @@ def vote_inter_robot(st: MRState, cfg: Config) -> MRState:
                                peer_buf=bufs)
 
 
-@jax.jit
-def build_closure_list(st: MRState, peer) -> ClosureList:
+@partial(jax.jit, static_argnames=("cap",))
+def build_closure_list(st: MRState, peer, cap: int = CLOSURE_LIST
+                       ) -> ClosureList:
     """Remote indices of ``peer``'s vertices I accepted closures on
     (my condensed-graph request, ``constructCondensedGraphMessage``,
-    ``mr_graph_slam.cpp:607-670``)."""
+    ``mr_graph_slam.cpp:607-670``). The newest ``cap`` closures ship;
+    the overflow count rides the message for the sender's Recorder."""
     sel = st.out_closures[peer] & (st.slam.v_owner == peer)
     score = jnp.where(sel, st.slam.v_remote, -1)
-    vals, slots = jax.lax.top_k(score, CLOSURE_LIST)
-    return ClosureList(idxs=st.slam.v_remote[slots], valid=vals >= 0)
+    vals, slots = jax.lax.top_k(score, cap)
+    n_sel = jnp.sum(sel.astype(jnp.int32))
+    return ClosureList(idxs=st.slam.v_remote[slots], valid=vals >= 0,
+                       dropped=jnp.maximum(n_sel - cap, 0))
 
 
 @jax.jit
@@ -325,8 +427,9 @@ def receive_closure_list(st: MRState, peer, cl: ClosureList,
         st, in_closures=st.in_closures.at[peer].set(new_row))
 
 
-@partial(jax.jit, static_argnames=("gauge_mode",))
-def build_star(st: MRState, peer, gauge_mode: str = "centroid") -> StarMsg:
+@partial(jax.jit, static_argnames=("gauge_mode", "cap"))
+def build_star(st: MRState, peer, gauge_mode: str = "centroid",
+               cap: int = STAR_EDGES) -> StarMsg:
     """Condense my own-edge graph onto the boundary ``peer`` requested
     (``computeCondensedGraph``, ``condensed_graph_buffer.cpp:437-485``:
     own edges only). ``gauge_mode`` mirrors the reference's two gauge
@@ -334,8 +437,9 @@ def build_star(st: MRState, peer, gauge_mode: str = "centroid") -> StarMsg:
     ``"optimal"`` (uncertainty-minimizing ``selectOptimalGauge``)."""
     sel = st.in_closures[peer]
     score = jnp.where(sel, st.slam.v_remote, -1)
-    vals, slots = jax.lax.top_k(score, STAR_EDGES)
+    vals, slots = jax.lax.top_k(score, cap)
     valid = vals >= 0
+    n_sel = jnp.sum(sel.astype(jnp.int32))
     g = st.slam.graph
     own = G.own_edge_mask(g, st.slam.my_id)
     if gauge_mode == "optimal":
@@ -348,7 +452,8 @@ def build_star(st: MRState, peer, gauge_mode: str = "centroid") -> StarMsg:
         gauge=st.slam.v_remote[gauge],
         boundary=st.slam.v_remote[slots],
         z=star.z, info=star.info,
-        valid=star.valid & any_b)
+        valid=star.valid & any_b,
+        dropped=jnp.maximum(n_sel - cap, 0))
 
 
 @jax.jit

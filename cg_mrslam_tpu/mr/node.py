@@ -66,7 +66,8 @@ class RobotNode:
         self._last_send_t = -np.inf  # sender-thread cadence bookkeeping
         self.ping_events: List[Tuple[float, int, int]] = []  # (t, me, src)
         self.stats = {"sent": 0, "received": 0, "keyframes": 0,
-                      "decode_errors": 0}
+                      "decode_errors": 0, "closure_list_dropped": 0,
+                      "star_dropped": 0}
         self.infos = []
 
     # ---------------------------------------------------------- sensing
@@ -104,6 +105,11 @@ class RobotNode:
             slam=slam, parked=st.parked, park_age=st.park_age,
             peer_buf=st.peer_buf, in_closures=st.in_closures,
             out_closures=st.out_closures)
+        # per-keyframe inter-robot pass (findInterRobotConstraints,
+        # cg_mrslam.cpp:223): retry a parked foreign vertex, then run the
+        # per-peer windowed vote — the MR window ages per KEYFRAME
+        self.state = MR.try_match_parked(self.state, self.cfg)
+        self.state = MR.vote_inter_robot(self.state, self.cfg)
         self._est = np.asarray(info.pose, np.float64)
         self._kf_est = self._est.copy()
         self.stats["keyframes"] += 1
@@ -130,10 +136,37 @@ class RobotNode:
 
     # ----------------------------------------------------------- comms
 
+    def _to_my_geometry(self, combo: "MR.Combo") -> "MR.Combo":
+        """Resample a peer's scan onto MY beam grid when geometries
+        differ (heterogeneous lasers; the reference ships laser params
+        per message for the same reason)."""
+        s = self.state.slam.scans
+        b = s.ranges.shape[1]
+        same = (np.asarray(combo.ranges).shape[0] == b
+                and abs(float(combo.first_beam_angle)
+                        - float(s.first_beam_angle)) < 1e-6
+                and abs(float(combo.angular_step)
+                        - float(s.angular_step)) < 1e-9
+                and abs(float(combo.max_range) - float(s.max_range)) < 1e-6)
+        if same:
+            return combo
+        from cg_mrslam_tpu.core.scan import resample_scan_np
+
+        r = resample_scan_np(
+            np.asarray(combo.ranges), float(combo.first_beam_angle),
+            float(combo.angular_step), float(combo.max_range), b,
+            float(s.first_beam_angle), float(s.angular_step),
+            float(s.max_range))
+        return combo._replace(ranges=jnp.asarray(r),
+                              first_beam_angle=s.first_beam_angle,
+                              angular_step=s.angular_step,
+                              max_range=s.max_range)
+
     def _apply(self, sender: int, msg) -> None:
         live = jnp.asarray(True)
         if isinstance(msg, MR.Combo):
-            self.state = MR.receive_combo(self.state, msg, live)
+            self.state = MR.receive_combo(
+                self.state, self._to_my_geometry(msg), live)
         elif isinstance(msg, MR.ClosureList):
             self.state = MR.receive_closure_list(
                 self.state, jnp.asarray(sender, jnp.int32), msg, live)
@@ -176,10 +209,10 @@ class RobotNode:
             self.stats["received"] += 1
             self._apply(sender, msg)
 
-        # 3. retry parked vertices + per-peer closure vote
-        #    (findInterRobotConstraints, mr_graph_slam.cpp:254-329)
+        # 3. retry a parked vertex between keyframes too (the reference's
+        #    processor thread handles inbound combos continuously; the
+        #    vote itself runs per keyframe in observe())
         self.state = MR.try_match_parked(self.state, self.cfg)
-        self.state = MR.vote_inter_robot(self.state, self.cfg)
 
         # 4. gated sends (sendToThrd, graph_comm.cpp:126-154)
         if not send_due:
@@ -194,12 +227,19 @@ class RobotNode:
             if combo is not None:
                 self.transport.send(p, combo)
                 self.stats["sent"] += 1
-            cl = MR.build_closure_list(self.state,
-                                       jnp.asarray(p, jnp.int32))
+            cl = MR.build_closure_list(
+                self.state, jnp.asarray(p, jnp.int32),
+                cap=self.cfg.mr.closure_list_cap)
+            if int(np.asarray(cl.dropped)):
+                self.stats["closure_list_dropped"] += int(
+                    np.asarray(cl.dropped))
             if bool(np.asarray(cl.valid).any()):
                 self.transport.send(p, wire.encode(cl, robot=self.id))
                 self.stats["sent"] += 1
-            star = MR.build_star(self.state, jnp.asarray(p, jnp.int32))
+            star = MR.build_star(self.state, jnp.asarray(p, jnp.int32),
+                                 cap=self.cfg.mr.star_edges_cap)
+            if int(np.asarray(star.dropped)):
+                self.stats["star_dropped"] += int(np.asarray(star.dropped))
             if bool(np.asarray(star.valid).any()):
                 self.transport.send(p, wire.encode(star, robot=self.id))
                 self.stats["sent"] += 1

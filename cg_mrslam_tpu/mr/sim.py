@@ -144,7 +144,8 @@ class MultiRobotSim:
             for s in range(self.R):
                 if r != s and conn[r, s]:
                     lists[(s, r)] = MR.build_closure_list(
-                        self.states[r], jnp.asarray(s, jnp.int32))
+                        self.states[r], jnp.asarray(s, jnp.int32),
+                        cap=self.cfg.mr.closure_list_cap)
         for (dst, src), cl in lists.items():
             self.states[dst] = MR.receive_closure_list(
                 self.states[dst], jnp.asarray(src, jnp.int32), cl, true_)
@@ -154,7 +155,8 @@ class MultiRobotSim:
             for s in range(self.R):
                 if r != s and conn[r, s]:
                     stars[(s, r)] = MR.build_star(
-                        self.states[r], jnp.asarray(s, jnp.int32))
+                        self.states[r], jnp.asarray(s, jnp.int32),
+                        cap=self.cfg.mr.star_edges_cap)
         for (dst, src), msg in stars.items():
             self.states[dst] = MR.receive_star(
                 self.states[dst], jnp.asarray(src, jnp.int32), msg, true_)

@@ -24,13 +24,18 @@ import numpy as np
 
 from typing import NamedTuple
 
-from cg_mrslam_tpu.mr.mrslam import ClosureList, Combo, GraphMsg, StarMsg
+from cg_mrslam_tpu.mr.mrslam import (ClosureList, Combo, EdgeArray,
+                                     GraphMsg, RobotLaser, StarMsg,
+                                     VertexArray)
 
 MAX_DATAGRAM = 100_000           # msg_factory.h:115
 TYPE_PING = 0                    # comm_publisher beacon ("I am robot N",
 #                                  comm_publisher.cpp:50-82) — not in the
 #                                  reference's MessageFactory registry
-TYPE_COMBO = 4                   # msg_factory.h:141-271 tag values
+TYPE_VERTEX_ARRAY = 1            # msg_factory.h:141-271 tag values
+TYPE_ROBOT_LASER = 2
+TYPE_COMBO = 4
+TYPE_EDGE_ARRAY = 5
 TYPE_CLOSURES = 6
 TYPE_CONDENSED = 7
 TYPE_GRAPH = 8
@@ -81,9 +86,34 @@ def encode(msg: Union[Combo, ClosureList, StarMsg, GraphMsg, Ping],
                      np.asarray(msg.e_z), np.asarray(msg.e_info),
                      np.asarray(msg.evalid))
     if isinstance(msg, Combo):
-        return _pack(TYPE_COMBO, int(msg.robot),
+        c = np.asarray(msg.poses).shape[0]
+        b = np.asarray(msg.ranges).shape[0]
+        hdr = np.asarray([c, b, float(msg.first_beam_angle),
+                          float(msg.angular_step), float(msg.max_range)],
+                         np.float32)
+        return _pack(TYPE_COMBO, int(msg.robot), hdr,
                      np.asarray(msg.poses), np.asarray(msg.idxs),
                      np.asarray(msg.valid), np.asarray(msg.ranges))
+    if isinstance(msg, VertexArray):
+        c = np.asarray(msg.poses).shape[0]
+        return _pack(TYPE_VERTEX_ARRAY, int(msg.robot),
+                     np.asarray([c], np.float32),
+                     np.asarray(msg.poses), np.asarray(msg.idxs),
+                     np.asarray(msg.valid))
+    if isinstance(msg, RobotLaser):
+        return _pack(TYPE_ROBOT_LASER, int(msg.robot),
+                     np.asarray([float(msg.node_id),
+                                 float(msg.first_beam_angle),
+                                 float(msg.angular_step),
+                                 float(msg.max_range),
+                                 float(msg.accuracy)], np.float32),
+                     np.asarray(msg.ranges))
+    if isinstance(msg, EdgeArray):
+        e = np.asarray(msg.ids).shape[0]
+        return _pack(TYPE_EDGE_ARRAY, int(msg.robot),
+                     np.asarray([e], np.float32),
+                     np.asarray(msg.ids), np.asarray(msg.z),
+                     np.asarray(msg.info), np.asarray(msg.valid))
     if isinstance(msg, ClosureList):
         return _pack(TYPE_CLOSURES, robot,
                      np.asarray(msg.idxs), np.asarray(msg.valid))
@@ -97,9 +127,12 @@ def encode(msg: Union[Combo, ClosureList, StarMsg, GraphMsg, Ping],
 
 def decode(buf: bytes, beams: int | None = None
            ) -> Tuple[int, Union[Combo, ClosureList, StarMsg]]:
-    """Deserialize; returns (sender robot id, message). ``beams`` is the
-    scan length for Combo payloads (receiver-known geometry, as in the
-    reference where LaserParameters are captured at init)."""
+    """Deserialize; returns (sender robot id, message). ``beams`` is
+    accepted for back-compat but unused: every scan-carrying message is
+    self-describing (beam count + geometry ride the payload, like the
+    reference's RobotLaserMessage laser params, msg_factory.h:162-181) —
+    peers with different lasers decode correctly and the receiver
+    resamples (``core.scan.resample_scan_np``)."""
     import jax.numpy as jnp
 
     t, robot, flat = _unpack(buf)
@@ -129,17 +162,61 @@ def decode(buf: bytes, beams: int | None = None
             e_z=jnp.asarray(e_z), e_info=jnp.asarray(e_info),
             evalid=jnp.asarray(evalid))
     if t == TYPE_COMBO:
-        c = (flat.size - beams) // 5  # poses 3C + idxs C + valid C
-        p = 3 * c
-        poses = flat[:p].reshape(c, 3)
-        idxs = flat[p:p + c].astype(np.int32)
-        valid = flat[p + c:p + 2 * c] > 0.5
-        ranges = flat[p + 2 * c:]
+        # self-describing: header [C, B, fba, step, maxr] (beam geometry
+        # ships per message like the reference's RobotLaserMessage params)
+        c, b = int(flat[0]), int(flat[1])
+        fba, step, maxr = float(flat[2]), float(flat[3]), float(flat[4])
+        o = 5
+        poses = flat[o:o + 3 * c].reshape(c, 3)
+        o += 3 * c
+        idxs = flat[o:o + c].astype(np.int32)
+        o += c
+        valid = flat[o:o + c] > 0.5
+        o += c
+        ranges = flat[o:o + b]
         return robot, Combo(robot=jnp.asarray(robot, jnp.int32),
                             poses=jnp.asarray(poses),
                             idxs=jnp.asarray(idxs),
                             valid=jnp.asarray(valid),
-                            ranges=jnp.asarray(ranges))
+                            ranges=jnp.asarray(ranges),
+                            first_beam_angle=jnp.float32(fba),
+                            angular_step=jnp.float32(step),
+                            max_range=jnp.float32(maxr))
+    if t == TYPE_VERTEX_ARRAY:
+        c = int(flat[0])
+        o = 1
+        poses = flat[o:o + 3 * c].reshape(c, 3)
+        o += 3 * c
+        idxs = flat[o:o + c].astype(np.int32)
+        o += c
+        valid = flat[o:o + c] > 0.5
+        return robot, VertexArray(robot=jnp.asarray(robot, jnp.int32),
+                                  poses=jnp.asarray(poses),
+                                  idxs=jnp.asarray(idxs),
+                                  valid=jnp.asarray(valid))
+    if t == TYPE_ROBOT_LASER:
+        node_id = int(flat[0])
+        return robot, RobotLaser(robot=jnp.asarray(robot, jnp.int32),
+                                 node_id=jnp.asarray(node_id, jnp.int32),
+                                 ranges=jnp.asarray(flat[5:]),
+                                 first_beam_angle=jnp.float32(flat[1]),
+                                 angular_step=jnp.float32(flat[2]),
+                                 max_range=jnp.float32(flat[3]),
+                                 accuracy=jnp.float32(flat[4]))
+    if t == TYPE_EDGE_ARRAY:
+        e = int(flat[0])
+        o = 1
+        ids = flat[o:o + 2 * e].reshape(e, 2).astype(np.int32)
+        o += 2 * e
+        z = flat[o:o + 3 * e].reshape(e, 3)
+        o += 3 * e
+        info = flat[o:o + 6 * e].reshape(e, 6)
+        o += 6 * e
+        valid = flat[o:o + e] > 0.5
+        return robot, EdgeArray(robot=jnp.asarray(robot, jnp.int32),
+                                ids=jnp.asarray(ids), z=jnp.asarray(z),
+                                info=jnp.asarray(info),
+                                valid=jnp.asarray(valid))
     if t == TYPE_CLOSURES:
         half = flat.size // 2
         return robot, ClosureList(

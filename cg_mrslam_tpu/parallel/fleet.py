@@ -94,17 +94,19 @@ def _star_phase(states: MR.MRState, stars, conn):
     return jax.vmap(per_robot)(states, rids)
 
 
-def _build_lists(states: MR.MRState, rr: int):
+def _build_lists(states: MR.MRState, rr: int,
+                 cap: int = MR.CLOSURE_LIST):
     rids = jnp.arange(rr, dtype=jnp.int32)
     return jax.vmap(
-        lambda st: jax.vmap(lambda p: MR.build_closure_list(st, p))(rids)
+        lambda st: jax.vmap(
+            lambda p: MR.build_closure_list(st, p, cap=cap))(rids)
     )(states)
 
 
-def _build_stars(states: MR.MRState, rr: int):
+def _build_stars(states: MR.MRState, rr: int, cap: int = MR.STAR_EDGES):
     rids = jnp.arange(rr, dtype=jnp.int32)
     return jax.vmap(
-        lambda st: jax.vmap(lambda p: MR.build_star(st, p))(rids)
+        lambda st: jax.vmap(lambda p: MR.build_star(st, p, cap=cap))(rids)
     )(states)
 
 
@@ -121,8 +123,10 @@ def fleet_round(states: MR.MRState, conn: jax.Array,
     rr = conn.shape[0]
     combos = jax.vmap(MR.build_combo)(states)
     states = _combo_phase(states, combos, conn, cfg)
-    states = _list_phase(states, _build_lists(states, rr), conn)
-    return _star_phase(states, _build_stars(states, rr), conn)
+    states = _list_phase(
+        states, _build_lists(states, rr, cfg.mr.closure_list_cap), conn)
+    return _star_phase(
+        states, _build_stars(states, rr, cfg.mr.star_edges_cap), conn)
 
 
 def fleet_round_sharded(states: MR.MRState, conn: jax.Array, cfg: Config,
@@ -166,7 +170,8 @@ def fleet_round_sharded(states: MR.MRState, conn: jax.Array, cfg: Config,
         st = MR.vote_inter_robot(st, cfg)
 
         # phase 2: closure lists built from the POST-vote state
-        lists_l = jax.vmap(lambda p: MR.build_closure_list(st, p))(rids)
+        lists_l = jax.vmap(lambda p: MR.build_closure_list(
+            st, p, cap=cfg.mr.closure_list_cap))(rids)
         lists = jax.tree_util.tree_map(gather, unsqueeze(lists_l))
 
         def rx_list(s, t):
@@ -177,7 +182,8 @@ def fleet_round_sharded(states: MR.MRState, conn: jax.Array, cfg: Config,
         st, _ = jax.lax.scan(rx_list, st, (rids, my_lists, conn_full[me]))
 
         # phase 3: stars built from the POST-list state
-        stars_l = jax.vmap(lambda p: MR.build_star(st, p))(rids)
+        stars_l = jax.vmap(lambda p: MR.build_star(
+            st, p, cap=cfg.mr.star_edges_cap))(rids)
         stars = jax.tree_util.tree_map(gather, unsqueeze(stars_l))
 
         def rx_star(s, t):

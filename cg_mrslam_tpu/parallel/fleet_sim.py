@@ -88,14 +88,19 @@ def fleet_keyframe_round(states: MR.MRState, do: jax.Array,
         slam = jax.tree_util.tree_map(
             lambda a, b: jnp.where(d, a, b), new_slam, st.slam)
         return (dataclasses.replace(st, slam=slam),
-                jnp.where(d, SL._pack_info(info), jnp.zeros(7)))
+                jnp.where(d, SL._pack_info(info),
+                          jnp.zeros(SL.INFO_WIDTH)))
 
     states, infos = jax.vmap(one)(states, do, ests, ranges)
     rr = conn.shape[0]
     combos = jax.vmap(MR.build_combo)(states)
     states = fleet._combo_phase(states, combos, conn, cfg)
-    states = fleet._list_phase(states, fleet._build_lists(states, rr), conn)
-    states = fleet._star_phase(states, fleet._build_stars(states, rr), conn)
+    states = fleet._list_phase(
+        states, fleet._build_lists(states, rr, cfg.mr.closure_list_cap),
+        conn)
+    states = fleet._star_phase(
+        states, fleet._build_stars(states, rr, cfg.mr.star_edges_cap),
+        conn)
     states = jax.vmap(_merge_mr)(full, states)
     counts = jnp.stack([states.slam.graph.n_vertices,
                         states.slam.graph.n_edges],
@@ -150,10 +155,11 @@ class FleetSim:
         # the exchange (1 foreign vertex per peer; per peer a full
         # inter-robot window flush + a replaced star)
         peers = self.R - 1
-        grow_e = (1 + SL.MAX_REGIONS
-                  + self.cfg.slam.window_loop_closure * SL.MAX_REGIONS
+        kf_buf = (self.cfg.slam.window_loop_closure
+                  * self.cfg.max_regions * SL.LC_HYPOTHESES)
+        grow_e = (1 + self.cfg.max_regions + kf_buf
                   + peers * (2 * self.cfg.mr.window_mr_loop_closure
-                             + MR.STAR_EDGES))
+                             + self.cfg.mr.star_edges_cap))
         cap_n, cap_e = self.cfg.max_vertices, self.cfg.max_edges
         nb = SL._bucket_for(int(self._n_live.max()) + 1 + peers, cap_n)
         eb = SL._bucket_for(max(int(self._e_live.max()) + grow_e, 4 * nb),
@@ -196,8 +202,8 @@ class FleetSim:
             for r in range(self.R):
                 # post-exchange sizes apply to every robot (exchange grows
                 # graphs even without a local keyframe)
-                self._n_live[r] = int(infos[r, 7])
-                self._e_live[r] = int(infos[r, 8])
+                self._n_live[r] = int(infos[r, SL.INFO_WIDTH])
+                self._e_live[r] = int(infos[r, SL.INFO_WIDTH + 1])
                 if not do[r]:
                     continue
                 self.kf_gt[r].append(self.trajs[r].gt[t])

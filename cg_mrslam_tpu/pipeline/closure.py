@@ -142,6 +142,29 @@ def consume(buf: ClosureBuffer, accept: jax.Array) -> ClosureBuffer:
     return dataclasses.replace(buf, mask=buf.mask & ~accept)
 
 
+def windowed_vote(buf: ClosureBuffer, poses: jax.Array, *,
+                  window: int, inlier_threshold, min_inliers):
+    """One keyframe's check+update pass with the reference's exact
+    cadence: the batch check FIRES only when the oldest hypothesis
+    reaches age ``window-1`` (``checkList``, ``closure_buffer.cpp:
+    104-110`` — i.e. once per hypothesis lifetime, just before
+    eviction), after which ages advance and age ≥ window evicts
+    (``updateList``, ``:92-102``). Call AFTER inserting this keyframe's
+    hypotheses (the reference's addClosures → checkClosures →
+    updateClosures order, ``graph_slam.cpp:487-559``).
+
+    Returns ``(buffer after consume+tick, accept mask, Vote)``.
+    """
+    fire = jnp.any(buf.mask & (buf.age == window - 1))
+    vote = consistency_vote(buf, poses,
+                            inlier_threshold=inlier_threshold,
+                            min_inliers=min_inliers)
+    accept = vote.accept & fire
+    out = consume(buf, accept)
+    out = tick(out, window)
+    return out, accept, vote
+
+
 def add_accepted(g: PoseGraph, buf: ClosureBuffer,
                  accept: jax.Array, owner=0) -> PoseGraph:
     """Scatter all accepted hypothesis edges into the graph in one shot."""

@@ -103,6 +103,37 @@ def components(g: PoseGraph, member: jax.Array,
     return lab
 
 
+@partial(jax.jit, static_argnames=("n_robots", "gap"))
+def expand_neighbors(member: jax.Array, v_owner: jax.Array,
+                     v_remote: jax.Array, vmask: jax.Array, *,
+                     n_robots: int, gap: int = 8) -> jax.Array:
+    """Widen a candidate set by vertices within ±``gap`` keyframe ids of a
+    member, per owner (reference ``addNeighboringVertices``,
+    ``graph_slam.cpp:356-382``: consecutive ids around each member join
+    the set; gap 8 at ``:399``).
+
+    Id adjacency lives in (owner, remote-index) space: members scatter
+    into a per-owner index line, a ±gap window-sum dilates it, and every
+    live vertex joins if its own line cell is covered. The stride pads
+    ``2·gap`` so dilation cannot leak across owner boundaries.
+    """
+    n = member.shape[0]
+    stride = n + 2 * gap + 2
+    total = n_robots * stride
+    ok = vmask & (v_remote >= 0)
+    key = jnp.clip(v_owner, 0, n_robots - 1) * stride \
+        + jnp.clip(v_remote, 0, n - 1)
+    hist = jnp.zeros((total + 1,), jnp.int32).at[
+        jnp.where(member & ok, key, total)].set(1, mode="drop")[:total]
+    cs = jnp.cumsum(hist)
+    idx = jnp.arange(total)
+    hi = cs[jnp.clip(idx + gap, 0, total - 1)]
+    lo = jnp.where(idx - gap - 1 >= 0,
+                   cs[jnp.clip(idx - gap - 1, 0, total - 1)], 0)
+    dilated = (hi - lo) > 0
+    return member | (ok & dilated[key])
+
+
 class Regions(NamedTuple):
     rep_vertex: jax.Array  # [K] int32 — closest member vertex per component
     valid: jax.Array       # [K] bool

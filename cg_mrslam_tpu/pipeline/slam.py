@@ -40,9 +40,10 @@ from cg_mrslam_tpu.pipeline import graph_dist as GD
 from cg_mrslam_tpu.solver import gauss_newton as gn
 from cg_mrslam_tpu.utils import se2
 
-# static sizing knobs of the fused step (capacity, not behaviour)
-MAX_REGIONS = 4          # simultaneous loop-closure components searched
-REGION_VERTICES = 6      # scans rasterized into one region's grid
+# Per-region loop-closure hypotheses: the reference keeps the best match
+# of the normal regions AND the best of the π-rotated twins as separate
+# results (scan_matcher.cpp:258-279), deduped on a coarse lattice.
+LC_HYPOTHESES = 2
 
 
 @jax.tree_util.register_dataclass
@@ -63,18 +64,26 @@ class SlamState:
 
 def init_state(cfg: Config, beams: int, initial_pose, ranges,
                fov: float, max_range: float,
-               laser_offset=(0.0, 0.0, 0.0), my_id: int = 0) -> SlamState:
+               laser_offset=(0.0, 0.0, 0.0), my_id: int = 0,
+               first_beam_angle: float | None = None,
+               angular_step: float | None = None) -> SlamState:
     """``setInitialData`` equivalent: gauge-fixed first vertex + its scan
-    (reference ``graph_slam.cpp:87-143``)."""
+    (reference ``graph_slam.cpp:87-143``). When the sensor's true beam
+    geometry is known (e.g. from a CARMEN log's explicit
+    ``start_angle``/``ares``), pass ``first_beam_angle``/``angular_step``
+    — the fov-derived defaults assume a symmetric fov with
+    endpoint-exclusive spacing, which real logs often violate."""
     g = G.empty(cfg.max_vertices, cfg.max_edges)
     g = G.add_vertex(g, jnp.asarray(initial_pose, jnp.float32), fixed=True)
-    scans = S.empty(cfg.max_vertices, beams, first_beam_angle=-fov / 2,
-                    angular_step=fov / beams, max_range=max_range)
+    fba = -fov / 2 if first_beam_angle is None else first_beam_angle
+    step = fov / beams if angular_step is None else angular_step
+    scans = S.empty(cfg.max_vertices, beams, first_beam_angle=fba,
+                    angular_step=step, max_range=max_range)
     scans = dataclasses.replace(
         scans, laser_offset=jnp.asarray(laser_offset, jnp.float32))
     scans = S.set_scan(scans, 0, jnp.asarray(ranges, jnp.float32))
     buf = CL.empty(cfg.slam.window_loop_closure
-                   * MAX_REGIONS)
+                   * cfg.max_regions * LC_HYPOTHESES)
     n = cfg.max_vertices
     return SlamState(
         graph=g, scans=scans, buffer=buf,
@@ -101,6 +110,9 @@ class StepInfo(NamedTuple):
     closures_added: jax.Array  # [] int32 — accepted loop closures this step
     chi2: jax.Array          # [] post-optimization chi2
     n_edges: jax.Array       # [] int32 — live edges (host bucket mirror)
+    regions_dropped: jax.Array  # [] int32 — components beyond max_regions
+    #                             (the one capacity that can silently bind;
+    #                             surfaced per SURVEY's no-silent-caps rule)
 
 
 def _diag_info(d) -> jax.Array:
@@ -181,21 +193,25 @@ def _covariance_gate(g: PoseGraph, cur, reps, rvalid, cfg: Config):
 class RegionMatch(NamedTuple):
     near_pose: jax.Array   # [K,3] close-window match around the estimate
     near_score: jax.Array  # [K]
-    loop_pose: jax.Array   # [K,3] LC-window match around the rep (+π twin)
-    loop_score: jax.Array  # [K]
+    loop_pose: jax.Array   # [K,H,3] LC hypotheses (normal best, π best)
+    loop_score: jax.Array  # [K,H]
+    loop_keep: jax.Array   # [K,H] bool — survives the dedup lattice
 
 
 def _match_regions(state: SlamState, est, cand, labels, regions,
                    cur_pts, cur_valid, cfg: Config) -> RegionMatch:
     """Per-component matching (reference ``findConstraints``,
     ``graph_slam.cpp:444-463``). Each region rasterizes the scans of its
-    ≤``REGION_VERTICES`` nearest member vertices into an LC grid, then
+    ≤``cfg.region_vertices`` nearest member vertices into an LC grid, then
 
     * near mode: tight close-matching window around the CURRENT estimate,
       no twin (``closeScanMatching`` path for near components);
     * loop mode: LC window around the representative's pose plus a
       π-rotated twin for reverse traversals (``scanMatchingLC``,
-      ``scan_matcher.cpp:222-241``).
+      ``scan_matcher.cpp:222-241``). The normal best and the π best are
+      BOTH kept as hypotheses, deduped on the reference's
+      (``lc_merge_dx``, ``lc_merge_dy``, ``lc_merge_dth``) lattice
+      (``scan_matcher.cpp:246-279``, ``chargrid.cpp:36-46``).
     """
     g = state.graph
     mcfg = cfg.lc_matcher
@@ -205,7 +221,7 @@ def _match_regions(state: SlamState, est, cand, labels, regions,
         in_comp = cand & (labels == labels[rep])
         d = jnp.linalg.norm(g.poses[:, :2] - g.poses[rep, :2], axis=-1)
         score = jnp.where(in_comp, -d, -jnp.float32(1e9))
-        _, mem = jax.lax.top_k(score, REGION_VERTICES)
+        _, mem = jax.lax.top_k(score, cfg.region_vertices)
         mem_ok = in_comp[mem] & state.scans.smask[mem]
 
         pts = S.scan_points(state.scans, mem)               # [M,B,2]
@@ -240,12 +256,24 @@ def _match_regions(state: SlamState, est, cand, labels, regions,
         base = g.poses[rep]
         twin = base.at[2].add(jnp.pi)
         poses2, scores2 = jax.vmap(lc)(jnp.stack([base, twin]))
-        b = jnp.argmin(scores2)
+        # dedup on the merge lattice: when both land in the same cell the
+        # worse one is dropped (the reference's pruned results map; θ is
+        # normalized first like scan_matcher.cpp:260)
+        q = jnp.asarray([w.lc_merge_dx, w.lc_merge_dy, w.lc_merge_dth],
+                        poses2.dtype)
+        norm = poses2.at[:, 2].set(
+            (poses2[:, 2] + jnp.pi) % (2 * jnp.pi) - jnp.pi)
+        c0 = jnp.floor(norm[0] / q + 0.5)
+        c1 = jnp.floor(norm[1] / q + 0.5)
+        same = jnp.all(c0 == c1)
+        better0 = scores2[0] <= scores2[1]
+        keep = jnp.stack([~same | better0, ~same | ~better0])
         return RegionMatch(
             near_pose=rn.poses[0],
             near_score=jnp.where(rvalid, rn.scores[0], far),
-            loop_pose=poses2[b],
-            loop_score=jnp.where(rvalid, scores2[b], far),
+            loop_pose=poses2,
+            loop_score=jnp.where(rvalid, scores2, far),
+            loop_keep=keep & rvalid,
         )
 
     return jax.vmap(one)(regions.rep_vertex, regions.valid)
@@ -277,8 +305,21 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
     recent = own & (state.v_remote
                     > state.v_remote[cur] - (cfg.slam.close_match_window + 1))
     cand = (sets.near | sets.loop) & ~recent
+    # widen by ±neighbor_gap ids within each owner's keyframe sequence
+    # (addNeighboringVertices, graph_slam.cpp:356-382, gap 8 at :399),
+    # then require scans (checkHaveLaser, :301-308)
+    cand = GD.expand_neighbors(
+        cand, state.v_owner, state.v_remote, g.vmask,
+        n_robots=cfg.mr.n_robots, gap=cfg.slam.neighbor_gap)
+    cand = cand & state.scans.smask & (jnp.arange(cand.shape[0]) != cur) \
+        & ~recent
     labels = GD.components(g, cand)
-    regions = GD.pick_regions(g, cand, labels, cur, MAX_REGIONS)
+    regions = GD.pick_regions(g, cand, labels, cur, cfg.max_regions)
+    # components beyond capacity are dropped — count them (no silent caps)
+    idx = jnp.arange(cand.shape[0], dtype=jnp.int32)
+    n_comp = jnp.sum((cand & (labels == idx)).astype(jnp.int32))
+    regions_dropped = jnp.maximum(
+        n_comp - jnp.sum(regions.valid.astype(jnp.int32)), 0)
 
     rvalid = _covariance_gate(g, cur, regions.rep_vertex, regions.valid,
                               cfg)
@@ -289,30 +330,38 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
                         regions._replace(valid=rvalid),
                         cur_pts, cur_valid, cfg)
 
+    k = cfg.max_regions
     reps = regions.rep_vertex
-    info = jnp.tile(_diag_info(cfg.slam.sm_info), (MAX_REGIONS, 1))
-    near_region = dist[reps] <= cfg.slam.max_graph_dist_sm
+    info = jnp.tile(_diag_info(cfg.slam.sm_info), (k, 1))
 
-    # direct edges to near OWN components (reference adds them immediately
-    # via close matching for its own vertices, graph_slam.cpp:444-457;
-    # foreign vertices always go through the windowed vote)
-    direct = (rvalid & near_region & own[reps]
+    # direct edge vs windowed vote: own vertices within direct_id_gap
+    # keyframes get an immediate close-match edge; everything else —
+    # foreign vertices or distant own vertices — rides the loop-closure
+    # vote (graph_slam.cpp:410-463: `!isMyVertex || id gap > 10`)
+    id_gap = state.v_remote[cur] - state.v_remote[reps]
+    near_mode = own[reps] & (id_gap <= cfg.slam.direct_id_gap)
+    direct = (rvalid & near_mode
               & (rm.near_score < cfg.close_matcher.max_score))
     z_near = se2.relative(g.poses[reps], rm.near_pose)      # [K,3]
     g = G.add_edges_masked(g, reps, jnp.full_like(reps, cur), z_near, info,
                            direct, owner=state.my_id)
 
-    # loop hypotheses ride the sliding window + consistency vote
-    hypo = (rvalid & ~direct
-            & (rm.loop_score < cfg.lc_matcher.max_score))
-    z_loop = se2.relative(g.poses[reps], rm.loop_pose)
-    buf = CL.tick(state.buffer, cfg.slam.window_loop_closure)
-    buf = CL.insert(buf, reps, jnp.full_like(reps, cur), z_loop, info, hypo)
-    vote = CL.consistency_vote(
-        buf, g.poses, inlier_threshold=cfg.slam.inlier_threshold,
+    # loop hypotheses (both per-region twins) ride the sliding window
+    hypo = (rvalid[:, None] & ~near_mode[:, None] & rm.loop_keep
+            & (rm.loop_score < cfg.lc_matcher.max_score))   # [K,H]
+    reps_h = jnp.repeat(reps, LC_HYPOTHESES)                # [K*H]
+    z_loop = se2.relative(g.poses[reps_h],
+                          rm.loop_pose.reshape(-1, 3))      # [K*H,3]
+    info_h = jnp.tile(_diag_info(cfg.slam.sm_info),
+                      (k * LC_HYPOTHESES, 1))
+    buf = CL.insert(state.buffer, reps_h, jnp.full_like(reps_h, cur),
+                    z_loop, info_h, hypo.reshape(-1))
+    buf2, accept, _ = CL.windowed_vote(
+        buf, g.poses, window=cfg.slam.window_loop_closure,
+        inlier_threshold=cfg.slam.inlier_threshold,
         min_inliers=cfg.slam.min_inliers)
-    g = CL.add_accepted(g, buf, vote.accept, owner=state.my_id)
-    buf = CL.consume(buf, vote.accept)
+    g = CL.add_accepted(g, buf, accept, owner=state.my_id)
+    buf = buf2
 
     # --- optimize(5) (graph_slam.cpp:561-574) ---
     g = gn.optimize(g, cfg.slam.gn_iterations)
@@ -321,9 +370,10 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
     state = dataclasses.replace(state, graph=g, buffer=buf)
     info_out = StepInfo(
         pose=g.poses[cur], sm_accepted=sm_ok,
-        closures_added=jnp.sum(vote.accept.astype(jnp.int32))
+        closures_added=jnp.sum(accept.astype(jnp.int32))
         + jnp.sum(direct.astype(jnp.int32)),
-        chi2=chi2(g), n_edges=g.n_edges)
+        chi2=chi2(g), n_edges=g.n_edges,
+        regions_dropped=regions_dropped)
     return state, info_out
 
 
@@ -410,21 +460,26 @@ def _merge_state(full: SlamState, part: SlamState) -> SlamState:
         v_remote=full.v_remote.at[:nb].set(part.v_remote))
 
 
+# width of the packed StepInfo vector (pose 3 + 5 scalars)
+INFO_WIDTH = 8
+
+
 def _pack_info(i: StepInfo) -> jax.Array:
-    """StepInfo as one float32[7] so the host fetches it in ONE transfer
-    (n_edges is exact in float32 up to 2²⁴)."""
+    """StepInfo as one float32[INFO_WIDTH] so the host fetches it in ONE
+    transfer (n_edges is exact in float32 up to 2²⁴)."""
     tail = jnp.stack([
         i.sm_accepted.astype(jnp.float32),
         i.closures_added.astype(jnp.float32),
         i.chi2.astype(jnp.float32),
-        i.n_edges.astype(jnp.float32)])
+        i.n_edges.astype(jnp.float32),
+        i.regions_dropped.astype(jnp.float32)])
     return jnp.concatenate([i.pose.astype(jnp.float32), tail])
 
 
 def _unpack_info(v: np.ndarray) -> StepInfo:
     return StepInfo(pose=v[:3], sm_accepted=bool(v[3]),
                     closures_added=int(v[4]), chi2=float(v[5]),
-                    n_edges=int(v[6]))
+                    n_edges=int(v[6]), regions_dropped=int(v[7]))
 
 
 @partial(jax.jit, static_argnames=("cfg", "nb", "eb"))
@@ -447,7 +502,11 @@ def _full_step(state: SlamState, est, ranges, cfg: Config):
 
 def _bucket_pair(state: SlamState, n_live: int, e_live: int):
     cap_n, cap_e = state.graph.capacity
-    grow_e = 1 + MAX_REGIONS + state.buffer.mask.shape[0]
+    # worst-case growth: odometry edge + per-region direct edges (≤ the
+    # buffer's per-keyframe insert quota = capacity/window) + a full
+    # closure-buffer flush
+    buf_cap = state.buffer.mask.shape[0]
+    grow_e = 1 + buf_cap + buf_cap // 2
     nb = _bucket_for(n_live + 1, cap_n)
     eb = _bucket_for(max(e_live + grow_e, 4 * nb), cap_e)
     return nb, eb
@@ -489,12 +548,16 @@ def state_from_g2o(cfg: Config, path: str, my_id: int = 0) -> SlamState:
     ids = loaded.ids
     v_owner = np.where(ids >= 0, ids // cfg.slam.base_id, my_id)
     v_remote = np.where(ids >= 0, ids % cfg.slam.base_id, -1)
-    buf = CL.empty(cfg.slam.window_loop_closure * MAX_REGIONS)
+    buf = CL.empty(cfg.slam.window_loop_closure
+                   * cfg.max_regions * LC_HYPOTHESES)
     g = loaded.graph
-    # edges reload as owner 0/level 0 (the .g2o format does not carry
-    # them); attribute them to their lower-id endpoint's owner
-    e_owner = np.asarray(v_owner)[np.asarray(g.e_ij)[:, 0]]
-    g = dataclasses.replace(g, e_owner=jnp.asarray(e_owner, jnp.int32))
+    if not loaded.has_edge_meta:
+        # legacy/external .g2o without CGM_EDGE_META provenance lines:
+        # attribute edges to their lower-id endpoint's owner (heuristic —
+        # a file saved by this framework carries exact owner/level
+        # instead, preserving the own-edges rule across resume)
+        e_owner = np.asarray(v_owner)[np.asarray(g.e_ij)[:, 0]]
+        g = dataclasses.replace(g, e_owner=jnp.asarray(e_owner, jnp.int32))
     return SlamState(
         graph=g, scans=loaded.scans, buffer=buf,
         my_id=jnp.asarray(my_id, jnp.int32),
@@ -508,12 +571,16 @@ class SingleRobotSlam:
 
     def __init__(self, cfg: Config, beams: int, initial_pose, ranges,
                  fov: float, max_range: float,
-                 laser_offset=(0.0, 0.0, 0.0)):
+                 laser_offset=(0.0, 0.0, 0.0),
+                 first_beam_angle: float | None = None,
+                 angular_step: float | None = None):
         from cg_mrslam_tpu.utils.metrics import Recorder
 
         self.cfg = cfg
         self.state = init_state(cfg, beams, initial_pose, ranges, fov,
-                                max_range, laser_offset)
+                                max_range, laser_offset,
+                                first_beam_angle=first_beam_angle,
+                                angular_step=angular_step)
         self._est = np.asarray(initial_pose, np.float64)
         self._kf_est = self._est.copy()
         self.infos: list = []
@@ -577,6 +644,8 @@ class SingleRobotSlam:
         self.metrics.log("chi2", info.chi2)
         self.metrics.log("closures_added", info.closures_added)
         self.metrics.log("sm_accepted", int(info.sm_accepted))
+        if info.regions_dropped:
+            self.metrics.log("regions_dropped", info.regions_dropped)
         # re-anchor dead reckoning on the optimized pose
         self._est = np.asarray(info.pose, np.float64)
         self._kf_est = self._est.copy()

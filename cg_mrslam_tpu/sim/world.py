@@ -75,6 +75,22 @@ def hospital_world(width: float = 40.0, height: float = 20.0,
             (ox, oy, ox + w, oy), (ox + w, oy, ox + w, oy + h),
             (ox + w, oy + h, ox, oy + h), (ox, oy + h, ox, oy),
         ]
+    # corridor clutter hugging the corridor walls (outside the patrol
+    # lanes at cy ± 0.5): a rectangular corridor is otherwise globally
+    # π-symmetric, which NO correlative matcher can disambiguate — the
+    # π-rotated twin hypotheses of scanMatchingLC would be exactly as
+    # consistent as the truth. Real hospital corridors have carts and
+    # door frames; these boxes are their stand-in.
+    for _ in range(max(4, int(width / 8))):
+        ox = rng.uniform(1.0, width - 2.0)
+        side = rng.uniform() < 0.5
+        oy = cy0 + 0.05 if side else cy1 - 0.45
+        w = rng.uniform(0.3, 0.9)
+        h = 0.4
+        segs += [
+            (ox, oy, ox + w, oy), (ox + w, oy, ox + w, oy + h),
+            (ox + w, oy + h, ox, oy + h), (ox, oy + h, ox, oy),
+        ]
     return World(segments=np.asarray(segs, np.float32))
 
 

@@ -1,5 +1,9 @@
 """CLI smoke: srslam end-to-end run writes a loadable .g2o and a map."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end replay; see pytest.ini two-tier invocation
+
 import os
 
 import numpy as np

@@ -1,5 +1,9 @@
 """SPMD fleet exchange: batched round == host-loop round == sharded round."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end replay; see pytest.ini two-tier invocation
+
 import dataclasses
 
 import jax

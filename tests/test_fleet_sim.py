@@ -6,6 +6,10 @@ world/seed they must produce the same keyframe counts and closely
 matching trajectories (float noise from bucket-padding differences only).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end replay; see pytest.ini two-tier invocation
+
 import numpy as np
 import jax.numpy as jnp
 

@@ -4,6 +4,10 @@ directions, exchange combo/closure/star messages when in range, and must
 the per-peer vote, (c) splice condensed stars, and (d) agree on each
 other's trajectories."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end replay; see pytest.ini two-tier invocation
+
 import numpy as np
 import jax.numpy as jnp
 

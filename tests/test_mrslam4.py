@@ -2,6 +2,10 @@
 4robots-hospital.bag): all pairs exchange, every robot ends with foreign
 vertices and finite estimates; at least one condensed star flows."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end replay; see pytest.ini two-tier invocation
+
 import numpy as np
 
 from cg_mrslam_tpu.config import (Config, MatcherConfig, MRConfig,

@@ -2,6 +2,10 @@
 noise, run the fused keyframe pipeline, check drift is corrected by loop
 closures (ATE well under raw odometry drift)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end replay; see pytest.ini two-tier invocation
+
 import dataclasses
 
 import numpy as np

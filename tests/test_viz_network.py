@@ -1,5 +1,9 @@
 """Viz export, ping-log bag connectivity, and drop-injection robustness."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end replay; see pytest.ini two-tier invocation
+
 import numpy as np
 import jax.numpy as jnp
 
