@@ -242,6 +242,8 @@ def _run_udp_node(a):
             print("bag modality needs --pings", file=sys.stderr)
             return 2
         node.load_pings(a.pings)
+    if a.record_msgs:
+        node.record_messages(a.record_msgs)
     print(f"robot {r}/{a.nRobots} on "
           f"{transport.my_addr[0]}:{transport.my_addr[1]} "
           f"({'native' if transport.native else 'python'} transport, "
@@ -300,6 +302,10 @@ def cmd_cg_mrslam(argv):
                    help="recorded ping log (JSONL) for bag modality")
     p.add_argument("--record-pings", default=None,
                    help="write received beacon log for later bag replay")
+    p.add_argument("--record-msgs", default=None,
+                   help="JSONL log of every sent/received SLAM message "
+                        "(the reference's REAL-modality message "
+                        "republishing, ros_handler.cpp:174-179)")
     a = p.parse_args(argv)
 
     if a.idRobot >= 0:

@@ -193,6 +193,7 @@ class RobotNode:
             for peer in range(self.R):
                 if peer != self.id:
                     self.transport.send(peer, ping)
+                    self._log_msg("sent", peer, ping, t)
 
         # 2. drain + process (receiveFromThrd/processQueueThrd)
         for buf in self.transport.drain():
@@ -201,6 +202,7 @@ class RobotNode:
             except (ValueError, IndexError):
                 self.stats["decode_errors"] += 1
                 continue
+            self._log_msg("recv", int(sender), buf, t)
             if isinstance(msg, wire.Ping):
                 self._ping_time[msg.robot] = t
                 self._peer_pos[msg.robot] = (msg.x, msg.y)
@@ -226,6 +228,7 @@ class RobotNode:
         for p in peers:
             if combo is not None:
                 self.transport.send(p, combo)
+                self._log_msg("sent", p, combo, t)
                 self.stats["sent"] += 1
             cl = MR.build_closure_list(
                 self.state, jnp.asarray(p, jnp.int32),
@@ -234,17 +237,43 @@ class RobotNode:
                 self.stats["closure_list_dropped"] += int(
                     np.asarray(cl.dropped))
             if bool(np.asarray(cl.valid).any()):
-                self.transport.send(p, wire.encode(cl, robot=self.id))
+                buf_cl = wire.encode(cl, robot=self.id)
+                self.transport.send(p, buf_cl)
+                self._log_msg("sent", p, buf_cl, t)
                 self.stats["sent"] += 1
             star = MR.build_star(self.state, jnp.asarray(p, jnp.int32),
                                  cap=self.cfg.mr.star_edges_cap)
             if int(np.asarray(star.dropped)):
                 self.stats["star_dropped"] += int(np.asarray(star.dropped))
             if bool(np.asarray(star.valid).any()):
-                self.transport.send(p, wire.encode(star, robot=self.id))
+                buf_star = wire.encode(star, robot=self.id)
+                self.transport.send(p, buf_star)
+                self._log_msg("sent", p, buf_star, t)
                 self.stats["sent"] += 1
         if combo is not None:
             self._last_combo_sent = n_now
+
+    # ------------------------------------------------- message logging
+
+    def record_messages(self, path: str) -> None:
+        """REAL-modality offline log of every sent/received SLAM message
+        (the reference republishes them as ``msg/SLAM.msg`` ROS topics
+        for later bag analysis, ``ros_handler.cpp:174-179,241-264``;
+        here: one JSONL line per datagram with direction, wire type,
+        peer, and payload size — plus the raw payload hex for exact
+        replay)."""
+        self._msg_log = open(path, "a")
+
+    def _log_msg(self, direction: str, peer: int, buf: bytes,
+                 t: float) -> None:
+        log = getattr(self, "_msg_log", None)
+        if log is None:
+            return
+        mtype = wire._HDR.unpack_from(buf, 0)[0] if len(buf) >= 12 else -1
+        log.write(json.dumps({
+            "t": t, "dir": direction, "me": self.id, "peer": peer,
+            "type": mtype, "bytes": len(buf), "payload": buf.hex(),
+        }) + "\n")
 
     # ------------------------------------------------------- ping logs
 
@@ -274,4 +303,7 @@ class RobotNode:
                 self._ping_time[sender] = max(self._ping_time[sender], ts)
 
     def close(self) -> None:
+        log = getattr(self, "_msg_log", None)
+        if log is not None:
+            log.close()
         self.transport.close()

@@ -122,6 +122,11 @@ def solve_normal_equations(eq: NormalEq, damping: jax.Array | float = 0.0):
     (``solver.spd``) — on TPU, XLA's Cholesky/triangular-solve chain is
     latency-bound (~57 ms per batched iteration at [1024,192,192] while
     the MXU idles); the matmul inverse turns the solve into MXU work.
+    The inverse then serves as preconditioner + warm start for a short
+    dense-CG polish (``spd.pcg_refine``): near-free when the inverse is
+    accurate, and the rescue when f32 conditioning defeats it (a real
+    multi-robot Hessian with a condensed-star hub reached κ≈3·10⁵, where
+    the raw inverse came back with O(1) residual on TPU).
     ``CG_MRSLAM_CHOLESKY=1`` restores the factorization path."""
     H, b = _gauge_fix(eq.H, eq.b, eq.free3)
     lam = jnp.asarray(damping, H.dtype)
@@ -130,10 +135,10 @@ def solve_normal_equations(eq: NormalEq, damping: jax.Array | float = 0.0):
         L = jax.scipy.linalg.cho_factor(H, lower=True)
         dx = -jax.scipy.linalg.cho_solve(L, b)
     else:
-        from cg_mrslam_tpu.solver.spd import spd_inverse
+        from cg_mrslam_tpu.solver.spd import pcg_refine, spd_inverse
 
-        dx = -jnp.einsum("...ij,...j->...i", spd_inverse(H), b,
-                         precision=jax.lax.Precision.HIGHEST)
+        minv = spd_inverse(H)
+        dx = -pcg_refine(H, b[..., None], minv)[..., 0]
     return dx * eq.free3
 
 
@@ -159,6 +164,48 @@ def optimize(g: PoseGraph, iterations: int = 5,
 
     g, _ = jax.lax.scan(body, g, None, length=iterations)
     return g
+
+
+# Capacity bands for optimize_auto (static — chosen at trace time from
+# the graph's CAPACITY, which is what determines the cost of each
+# backend regardless of live count):
+#   dense    : N ≤ DENSE_MAX — one [3N,3N] inverse feeding vmap batches
+#   chain    : DENSE_MAX < N ≤ PCG_MIN and the graph is an odometry
+#              chain + closures — O(N) cyclic reduction (solver/chain.py)
+#   PCG      : N > PCG_MIN — dense H no longer fits / pays
+DENSE_MAX = 512
+PCG_MIN = 4096
+
+
+def optimize_auto(g: PoseGraph, iterations: int = 5,
+                  edge_mask: jax.Array | None = None,
+                  loop_cap: int = 64) -> PoseGraph:
+    """``optimize`` with a scale-appropriate backend.
+
+    Static capacity picks the band; inside the chain band a runtime
+    :func:`cg_mrslam_tpu.solver.chain.chainable` check falls back to the
+    dense solver for graphs whose free vertices are not all
+    chain-covered (e.g. multi-robot graphs with interleaved foreign
+    vertices). All three backends implement the same GN semantics; the
+    parity suites pin dense, the chain tests pin chain ≡ dense.
+    """
+    n = g.poses.shape[-1 - 1]
+    if n > PCG_MIN:
+        from cg_mrslam_tpu.solver.pcg import optimize_pcg
+
+        return optimize_pcg(g, iterations=iterations, edge_mask=edge_mask,
+                            cg_iters=96)
+    if n <= DENSE_MAX:
+        return optimize(g, iterations, edge_mask)
+    from cg_mrslam_tpu.solver import chain as CH
+
+    return jax.lax.cond(
+        CH.chainable(g, edge_mask),
+        lambda gg: CH.optimize_chain(gg, iterations=iterations,
+                                     edge_mask=edge_mask,
+                                     loop_cap=loop_cap),
+        lambda gg: optimize(gg, iterations, edge_mask),
+        g)
 
 
 class LMState(NamedTuple):
@@ -224,10 +271,13 @@ def marginal_covariance(
         q = query.shape[0]
         Xq = X[cols.reshape(-1)].reshape(q, 3, q, 3)
         return Xq[jnp.arange(q), :, jnp.arange(q), :]  # [Q,3,3] diagonal
-    from cg_mrslam_tpu.solver.spd import spd_inverse
+    from cg_mrslam_tpu.solver.spd import pcg_refine, spd_inverse
 
     hinv = spd_inverse(H)
-    rows = hinv[cols.reshape(-1)]                        # [3Q, 3N]
+    # the queried COLUMNS of H⁻¹, refined to solve-quality (the explicit
+    # inverse alone can be off at high condition — see pcg_refine)
+    rhs = jax.nn.one_hot(cols.reshape(-1), n3, dtype=H.dtype).T  # [3N,3Q]
+    X = pcg_refine(H, rhs, hinv)                         # [3N, 3Q]
     q = query.shape[0]
-    Xq = rows[:, cols.reshape(-1)].reshape(q, 3, q, 3)
+    Xq = X[cols.reshape(-1)].reshape(q, 3, q, 3)
     return Xq[jnp.arange(q), :, jnp.arange(q), :]        # [Q,3,3] diagonal

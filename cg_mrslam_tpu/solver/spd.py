@@ -58,7 +58,8 @@ def _gauss_jordan_inverse(a: jax.Array) -> jax.Array:
     return m[..., :, n:]
 
 
-def spd_inverse(h: jax.Array, refine: int = 2) -> jax.Array:
+def spd_inverse(h: jax.Array, refine: int = 2, max_refine: int = 48,
+                tol: float | None = None) -> jax.Array:
     """Explicit inverse of a batched SPD matrix ``[..., n, n]``.
 
     ``n`` must halve down to ≤ 24 (true for the framework's 3N pose
@@ -68,22 +69,132 @@ def spd_inverse(h: jax.Array, refine: int = 2) -> jax.Array:
     The raw recursion loses ~2 digits to Cholesky at condition 1e5 (the
     Schur subtraction cancels), so the matrix is first Jacobi-equilibrated
     to unit diagonal (D H D with D = diag(H)^{-1/2} — pose Hessians mix
-    1e3-scale information blocks with unit gauge rows, and inverting the
-    raw scales can push the Newton–Schulz residual past 1, where
-    refinement DIVERGES to NaN), then the top level runs ``refine``
-    Newton–Schulz steps ``X ← X(2I − HX)`` — each SQUARES the residual
-    for two batched matmuls, landing the result back in Cholesky's error
-    class while staying 100% MXU work.
+    1e3-scale information blocks with unit gauge rows), then polished by
+    Newton–Schulz ``X ← X + X(I − HX)`` — each step SQUARES the residual
+    for two batched matmuls, pure MXU work.
+
+    Robustness (the part that matters in production): at condition
+    ~3·10⁵ the f32 recursion can land at residual ``‖I−HX‖ ≥ 1`` where
+    plain NS DIVERGES to NaN (observed on a real multi-robot Hessian
+    with a condensed-star hub). Therefore
+
+    * elements whose start residual is ≥ 1 (or non-finite) RESTART from
+      the classical guaranteed-convergent SPD seed ``X₀ = I/‖H‖_∞``
+      (spectrum of ``I − H X₀`` in ``[0, 1)``);
+    * refinement runs in a ``while_loop`` until the worst batch
+      element's Frobenius residual ≤ ``tol`` (or ``max_refine``): healthy
+      batches exit after the usual ~``refine`` steps, a restarted
+      element takes ~log₂(κ) + a few quadratic steps.
     """
+    n = h.shape[-1]
+    if tol is None:
+        tol = 1e-4 if h.dtype == jnp.float32 else 1e-11
     d = jax.lax.rsqrt(jnp.maximum(
         jnp.diagonal(h, axis1=-2, axis2=-1), 1e-30))          # [..., n]
     hs = h * d[..., :, None] * d[..., None, :]
     x = _spd_inverse_rec(hs)
-    eye2 = 2.0 * jnp.eye(h.shape[-1], dtype=h.dtype)
-    for _ in range(refine):
-        x = _mm(x, eye2 - _mm(hs, x))
-        x = 0.5 * (x + jnp.swapaxes(x, -1, -2))
+    eye = jnp.eye(n, dtype=h.dtype)
+
+    def resid(xc):
+        r = eye - _mm(hs, xc)
+        rn = jnp.sqrt(jnp.sum(r * r, axis=(-2, -1)))
+        return r, rn
+
+    r, rn = resid(x)
+
+    # the guaranteed-convergent SPD seed: X₀ = I/‖H‖_∞ puts the spectrum
+    # of R₀ = I − H X₀ in [0, 1), so NS (which squares R exactly) always
+    # converges from it — at ~log₂(κ) linear steps before the quadratic
+    # phase kicks in
+    inf_norm = jnp.max(jnp.sum(jnp.abs(hs), axis=-1), axis=-1)  # ‖H‖_∞
+    tau = jnp.maximum(inf_norm, 1.0)[..., None, None]
+    seed = eye / tau
+    r_seed = eye - hs / tau
+    rn_seed = jnp.sqrt(jnp.sum(r_seed * r_seed, axis=(-2, -1)))
+
+    def cond(state):
+        k, _, _, rn_arr, prev_worst = state
+        worst = jnp.max(rn_arr)
+        improving = worst < 0.7 * prev_worst
+        # keep going through the (slow) linear phase; once in the
+        # quadratic regime, stop at tol or at the f32 floor (~ε·κ —
+        # waiting for an unreachable tol would burn max_refine steps on
+        # every call)
+        return (k < refine) | ((k < max_refine) & (worst > tol)
+                               & ((worst >= 0.25) | improving))
+
+    def body(state):
+        k, xc, rc, rn_arr, _ = state
+        xn = xc + _mm(xc, rc)
+        xn = 0.5 * (xn + jnp.swapaxes(xn, -1, -2))
+        r2, rn2 = resid(xn)
+        # divergence detection (spectral radius of R > 1 — observed on a
+        # real multi-robot Hessian where the f32 recursion landed at
+        # residual 43 and plain NS exploded to NaN): the residual GROWING
+        # is the signature; restart that element from the safe seed.
+        # NaN-safe (non-finite residuals restart too); floor noise is NOT
+        # divergence, so growth only counts above the tolerance.
+        diverged = ~(rn2 <= jnp.maximum(rn_arr * 1.5, tol))
+        dd = diverged[..., None, None]
+        xn = jnp.where(dd, seed, xn)
+        r2 = jnp.where(dd, r_seed, r2)
+        rn2 = jnp.where(diverged, rn_seed, rn2)
+        return k + 1, xn, r2, rn2, jnp.max(rn_arr)
+
+    state = (jnp.int32(0), x, r, rn, jnp.asarray(jnp.inf, rn.dtype))
+    _, x, _, _, _ = jax.lax.while_loop(cond, body, state)
     return x * d[..., :, None] * d[..., None, :]
+
+
+def pcg_refine(h: jax.Array, b: jax.Array, minv: jax.Array,
+               max_iters: int = 64, tol: float = 1e-5) -> jax.Array:
+    """Solve ``H X = B`` by dense preconditioned CG with ``minv`` (the
+    explicit approximate inverse) as preconditioner AND warm start.
+
+    This is the robustness layer over :func:`spd_inverse`: the matmul
+    inverse is exact enough 99% of the time (CG then exits after one or
+    two cheap [n,n]×[n,R] matmul iterations), but at condition ~3·10⁵ in
+    f32 it can come back with O(1) residual — CG squeezes the Krylov-
+    optimal solution out of whatever preconditioner quality it gets, at
+    ~(1+ρ)/(1−ρ) effective condition. Every iteration is two batched
+    matmuls (MXU); the while_loop exits when the WORST batch element's
+    relative residual passes ``tol`` (or at ``max_iters``). Breakdown
+    guards zero the step instead of dividing by ~0, so the result is
+    always finite for finite inputs.
+
+    ``b`` is ``[..., n, R]`` (R simultaneous right-hand sides, each its
+    own CG); returns ``X`` of the same shape.
+    """
+    x = _mm(minv, b)
+    r = b - _mm(h, x)
+    z = _mm(minv, r)
+    p = z
+    rz = jnp.sum(r * z, axis=-2)                       # [..., R]
+    bn = jnp.maximum(jnp.sum(b * b, axis=-2), 1e-30)
+
+    def cond(s):
+        k, _, rr, _, _ = s
+        rel = jnp.sum(rr * rr, axis=-2) / bn
+        return (k < max_iters) & (jnp.max(rel) > tol * tol)
+
+    def body(s):
+        k, x, rr, p, rz = s
+        hp = _mm(h, p)
+        denom = jnp.sum(p * hp, axis=-2)
+        ok = denom > 1e-30
+        alpha = jnp.where(ok, rz / jnp.where(ok, denom, 1.0), 0.0)
+        x = x + p * alpha[..., None, :]
+        rr = rr - hp * alpha[..., None, :]
+        z = _mm(minv, rr)
+        rz2 = jnp.sum(rr * z, axis=-2)
+        okb = jnp.abs(rz) > 1e-30
+        beta = jnp.where(okb, rz2 / jnp.where(okb, rz, 1.0), 0.0)
+        p = z + p * beta[..., None, :]
+        return k + 1, x, rr, p, rz2
+
+    _, x, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x, r, p, rz))
+    return x
 
 
 def _spd_inverse_rec(h: jax.Array) -> jax.Array:

@@ -85,6 +85,11 @@ def test_fleet_sim_matches_host_loop():
         ate_f = ate(fs.states, fs.kf_gt)
         ate_h = ate(ref, hs.kf_gt)
         assert abs(ate_f - ate_h) < 0.05, (ate_f, ate_h)
+        # absolute guard (round-1 ADVICE): a regression common to BOTH
+        # programs must not hide behind the difference check — each run
+        # must itself localize against ground truth
+        assert ate_f < 0.5, ate_f
+        assert ate_h < 0.5, ate_h
 
     # the fused round actually found inter-robot structure
     assert int(fs.states.slam.graph.n_edges.sum()) > 0

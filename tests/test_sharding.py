@@ -39,3 +39,21 @@ def test_sharded_handles_uneven_edge_shards():
     poses = np.asarray(SH.sharded_optimize(gs, mesh, iterations=3))
     ref = jax.vmap(lambda gg: gn.optimize(gg, iterations=3))(g)
     np.testing.assert_allclose(poses, np.asarray(ref.poses), atol=5e-4)
+
+
+def test_sharded_pcg_matches_single_device():
+    """Matrix-free sharded GN (edge shards + psum'd Hessian-vector
+    products) equals the single-device PCG solver."""
+    import jax
+
+    from cg_mrslam_tpu.solver import pcg as PCG
+
+    mesh = SH.make_mesh(8, shard=2)
+    g = _build_batch(mesh.shape["graphs"] * 2)
+    gs = SH.shard_batch(g, mesh)
+    poses = SH.sharded_optimize_pcg(gs, mesh, iterations=3, cg_iters=48)
+    ref = jax.vmap(lambda gg: PCG.optimize_pcg(gg, iterations=3,
+                                               cg_iters=48))(g)
+    d = np.asarray(poses) - np.asarray(ref.poses)
+    d[..., 2] = (d[..., 2] + np.pi) % (2 * np.pi) - np.pi
+    assert np.abs(d).max() < 5e-3, np.abs(d).max()
