@@ -52,6 +52,14 @@ from cg_mrslam_tpu.core.graph import PoseGraph, unpack_info
 from cg_mrslam_tpu.core.linearize import linearize
 from cg_mrslam_tpu.utils import se2
 
+# Every matmul in this file carries an EXPLICIT full-f32 precision: the
+# cyclic-reduction Schur updates and the Woodbury congruences live off
+# cancellation, and TPU matmuls default to bf16 multiplicands (the
+# default_matmul_precision context is belt; this is suspenders — the
+# experimental axon plugin is not guaranteed to honor ambient context).
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+_es = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 def chain_masks(g: PoseGraph, edge_mask: jax.Array | None = None):
     """Split active edges into chain (j == i+1) and loop parts."""
@@ -60,15 +68,23 @@ def chain_masks(g: PoseGraph, edge_mask: jax.Array | None = None):
     return is_chain, mask & ~is_chain
 
 
-def chainable(g: PoseGraph, edge_mask: jax.Array | None = None) -> jax.Array:
-    """True when every free vertex touches a chain edge (solver exact)."""
-    is_chain, _ = chain_masks(g, edge_mask)
+def chainable(g: PoseGraph, edge_mask: jax.Array | None = None,
+              loop_cap: int | None = None) -> jax.Array:
+    """True when every free vertex touches a chain edge (solver exact).
+    With ``loop_cap``, additionally require the loop-edge count to fit —
+    edges beyond the cap would be silently EXCLUDED from the correction,
+    so a capacity overflow must disqualify the fast path, not degrade
+    it."""
+    is_chain, is_loop = chain_masks(g, edge_mask)
     n = g.poses.shape[0]
     deg = jnp.zeros((n,), jnp.int32)
     cm = is_chain.astype(jnp.int32)
     deg = deg.at[g.e_ij[:, 0]].add(cm).at[g.e_ij[:, 1]].add(cm)
     free = g.vmask & ~g.fixed
-    return jnp.all(~free | (deg > 0))
+    ok = jnp.all(~free | (deg > 0))
+    if loop_cap is not None:
+        ok = ok & (jnp.sum(is_loop.astype(jnp.int32)) <= loop_cap)
+    return ok
 
 
 class _Tridiag(NamedTuple):
@@ -99,11 +115,11 @@ def _assemble(g: PoseGraph, edge_mask, loop_cap: int):
     Jif, Jjf = Ji * fi, Jj * fj
 
     cm = is_chain.astype(Ji.dtype)[:, None, None]
-    JiT_O = jnp.einsum("eki,ekl->eil", Jif, omega) * cm
-    Hii = jnp.einsum("eil,elj->eij", JiT_O, Jif)
-    Hij = jnp.einsum("eil,elj->eij", JiT_O, Jjf)
-    JjT_O = jnp.einsum("eki,ekl->eil", Jjf, omega) * cm
-    Hjj = jnp.einsum("eil,elj->eij", JjT_O, Jjf)
+    JiT_O = _es("eki,ekl->eil", Jif, omega) * cm
+    Hii = _es("eil,elj->eij", JiT_O, Jif)
+    Hij = _es("eil,elj->eij", JiT_O, Jjf)
+    JjT_O = _es("eki,ekl->eil", Jjf, omega) * cm
+    Hjj = _es("eil,elj->eij", JjT_O, Jjf)
 
     D = jnp.zeros((n, 3, 3), g.poses.dtype)
     D = D.at[vi].add(Hii).at[vj].add(Hjj)
@@ -113,8 +129,8 @@ def _assemble(g: PoseGraph, edge_mask, loop_cap: int):
 
     # gradient b over ALL active edges (chain + loop)
     om_all = omega * mask_any.astype(omega.dtype)[:, None, None]
-    bi = jnp.einsum("eki,ekl,el->ei", Jif, om_all, e)
-    bj = jnp.einsum("eki,ekl,el->ei", Jjf, om_all, e)
+    bi = _es("eki,ekl,el->ei", Jif, om_all, e)
+    bj = _es("eki,ekl,el->ei", Jjf, om_all, e)
     b = jnp.zeros((n, 3), g.poses.dtype).at[vi].add(bi).at[vj].add(bj)
 
     # identity on pinned blocks keeps the tridiag invertible; εI on free
@@ -179,91 +195,172 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _cr_solve(D: jax.Array, L: jax.Array, rhs: jax.Array) -> jax.Array:
-    """Solve the SPD block-tridiagonal system T x = rhs by block cyclic
-    reduction. ``D [n,3,3]`` diagonal blocks, ``L [n,3,3]`` with
-    ``L[k] = T[k+1,k]`` (``L[n-1]`` ignored), ``rhs [n,3,R]``.
+# Poses per CR super-block. 3×3 blocks are hopeless TPU shapes (the
+# minor dims pad 3→8 sublanes / →128 lanes and each matmul uses ~2% of an
+# MXU tile); grouping GROUP consecutive poses makes the chain
+# block-tridiagonal in dense 3·GROUP-square blocks — real MXU tiles, ~7
+# CR levels instead of 10, and far fewer tiny kernels.
+GROUP = 16
+
+
+def _inv_block(a: jax.Array) -> jax.Array:
+    """Inverse for [..., b, b] blocks: closed-form for b=3, matmul-only
+    block-Schur recursion (spd.py machinery) for super-blocks."""
+    if a.shape[-1] == 3:
+        return _inv3(a)
+    from cg_mrslam_tpu.solver.spd import _spd_inverse_rec
+
+    return _spd_inverse_rec(a)
+
+
+def _to_super(D: jax.Array, L: jax.Array, group: int):
+    """Regroup a 3×3 block-tridiagonal chain into dense
+    ``3·group``-square super-blocks (pad tail poses with identity)."""
+    n = D.shape[0]
+    ns = -(-n // group)
+    pad = ns * group - n
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=D.dtype), (pad, 3, 3))
+        D = jnp.concatenate([D, eye], axis=0)
+        L = jnp.concatenate([L, jnp.zeros((pad, 3, 3), L.dtype)], axis=0)
+        L = L.at[n - 1].set(0.0)
+    Dr = D.reshape(ns, group, 3, 3)
+    Lr = L.reshape(ns, group, 3, 3)
+    b = 3 * group
+    Ds = jnp.zeros((ns, b, b), D.dtype)
+    for g in range(group):
+        Ds = Ds.at[:, 3 * g:3 * g + 3, 3 * g:3 * g + 3].set(Dr[:, g])
+    for g in range(group - 1):
+        blk = Lr[:, g]
+        Ds = Ds.at[:, 3 * (g + 1):3 * (g + 1) + 3,
+                   3 * g:3 * g + 3].set(blk)
+        Ds = Ds.at[:, 3 * g:3 * g + 3,
+                   3 * (g + 1):3 * (g + 1) + 3].set(
+            jnp.swapaxes(blk, -1, -2))
+    # L_s[t] = T_s[t+1, t]: only the (first poses of t+1) × (last pose
+    # of t) corner is nonzero = L[t·group + group − 1]
+    Ls = jnp.zeros((ns, b, b), D.dtype)
+    corner = Lr[:, group - 1]                      # [ns,3,3]
+    Ls = Ls.at[:, 0:3, b - 3:b].set(corner)
+    Ls = Ls.at[ns - 1].set(0.0)
+    return Ds, Ls, ns, pad
+
+
+def _cr_factor(D: jax.Array, L: jax.Array, group: int = GROUP):
+    """Cyclic-reduction factorization of the SPD block-tridiagonal T
+    (``D [n,3,3]`` diagonal, ``L[k] = T[k+1,k]``; ``L[n-1]`` ignored),
+    over ``3·group``-square super-blocks.
 
     Each level eliminates the odd-indexed blocks in parallel:
 
         D'[t] = D[2t] − L[2t−1] D⁻¹[2t−1] Lᵀ[2t−1] − Lᵀ[2t] D⁻¹[2t+1] L[2t]
-        r'[t] = r[2t] − L[2t−1] D⁻¹[2t−1] r[2t−1] − Lᵀ[2t] D⁻¹[2t+1] r[2t+1]
         L'[t] = −L[2t+1] D⁻¹[2t+1] L[2t]
 
-    then back-substitutes the odd blocks level by level. log₂(n) levels
-    of whole-array batched 3×3 matmuls — O(n) work, O(log n) depth
-    (exact block Gaussian elimination in a different order, not an
-    approximation).
-    """
-    n = D.shape[0]
+    log₂(n/group) levels of whole-array batched dense-block matmuls —
+    O(n) work, O(log n) depth; exact block Gaussian elimination in a
+    different order. The returned per-level inverses let any number of
+    later right-hand sides (Woodbury columns, iterative-refinement
+    residuals) reuse the factorization."""
+    n3 = D.shape[0]
+    D, L, ns, _ = _to_super(D, L, group)
+    bb = D.shape[-1]
+    n = ns
     m = _next_pow2(n)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=D.dtype), (m - n, 3, 3))
     if m > n:
+        eye = jnp.broadcast_to(jnp.eye(bb, dtype=D.dtype),
+                               (m - n, bb, bb))
         D = jnp.concatenate([D, eye], axis=0)
         L = jnp.concatenate(
-            [L, jnp.zeros((m - n, 3, 3), L.dtype)], axis=0)
-        rhs = jnp.concatenate(
-            [rhs, jnp.zeros((m - n,) + rhs.shape[1:], rhs.dtype)], axis=0)
-    # padding must not couple: zero the bridge off-diagonal
-    if m > n:
-        L = L.at[n - 1].set(0.0)
+            [L, jnp.zeros((m - n, bb, bb), L.dtype)], axis=0)
+        L = L.at[n - 1].set(0.0)   # padding must not couple
 
-    stack = []
+    levels = []
     while D.shape[0] > 1:
-        k = D.shape[0]
-        De, Do = D[0::2], D[1::2]            # evens kept, odds eliminated
+        Do = D[1::2]
         Le = L[0::2]                          # L[2t]  : T[2t+1, 2t]
         Lo = L[1::2]                          # L[2t+1]: T[2t+2, 2t+1]
-        re, ro = rhs[0::2], rhs[1::2]
-        Doi = _inv3(Do)
+        Doi = _inv_block(Do)
         # previous odd neighbour of even 2t is 2t−1; L[2t−1] lives at the
         # odd positions of L, i.e. Lo shifted by one
         Lprev = jnp.concatenate(
-            [jnp.zeros((1, 3, 3), L.dtype), Lo[:-1]], axis=0)  # L[2t-1]
+            [jnp.zeros((1, bb, bb), L.dtype), Lo[:-1]], axis=0)  # L[2t-1]
         Doi_prev = jnp.concatenate(
-            [jnp.broadcast_to(jnp.eye(3, dtype=D.dtype), (1, 3, 3)),
+            [jnp.broadcast_to(jnp.eye(bb, dtype=D.dtype), (1, bb, bb)),
              Doi[:-1]], axis=0)
+        A = _mm(Lprev, Doi_prev)              # L[2t−1] D⁻¹[2t−1]
+        B = _mm(jnp.swapaxes(Le, -1, -2), Doi)   # Lᵀ[2t] D⁻¹[2t+1]
+        Dn = D[0::2] - _mm(A, jnp.swapaxes(Lprev, -1, -2)) - _mm(B, Le)
+        Ln = -_mm(_mm(Lo, Doi), Le)           # T'[2t+2, 2t]
+        levels.append((Doi, Le, Lo, A, B))
+        D, L = Dn, Ln
+    return {"levels": levels, "root_inv": _inv_block(D[0]),
+            "n": n, "m": m, "n3": n3, "group": group}
+
+
+def _cr_apply(fact, rhs: jax.Array) -> jax.Array:
+    """Solve T x = rhs [n,3,R] with a :func:`_cr_factor` factorization
+    (rhs in 3×3-block layout; regrouped to super-blocks internally)."""
+    n, m = fact["n"], fact["m"]
+    n3, group = fact["n3"], fact["group"]
+    r_shape = rhs.shape
+    pad3 = n * group - n3
+    if pad3:
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((pad3,) + rhs.shape[1:], rhs.dtype)], axis=0)
+    rhs = rhs.reshape(n, 3 * group, rhs.shape[-1])
+    if m > n:
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((m - n,) + rhs.shape[1:], rhs.dtype)], axis=0)
+    stack = []
+    for (Doi, Le, Lo, A, B) in fact["levels"]:
+        re, ro = rhs[0::2], rhs[1::2]
         ro_prev = jnp.concatenate(
             [jnp.zeros((1,) + rhs.shape[1:], rhs.dtype), ro[:-1]], axis=0)
-        LpT = jnp.swapaxes(Lprev, -1, -2)
-        LeT = jnp.swapaxes(Le, -1, -2)
-
-        A = Lprev @ Doi_prev                  # [k/2,3,3] — note: uses the
-        #   PREVIOUS odd block (2t−1): Lprev = L[2t−1], Doi_prev = D⁻¹[2t−1]
-        B = LeT @ Doi                         # Lᵀ[2t] D⁻¹[2t+1]
-        Dn = De - A @ LpT - B @ Le
-        rn = re - A @ ro_prev - B @ ro
-        Ln = -(Lo @ Doi) @ Le                 # T'[2t+2, 2t] ... see below
-
+        rhs = re - _mm(A, ro_prev) - _mm(B, ro)
         stack.append((Doi, Le, Lo, ro))
-        D, L, rhs = Dn, Ln, rn
 
-    x = _inv3(D[0])[None] @ rhs               # [1,3,R]
-
+    x = _mm(fact["root_inv"][None], rhs)      # [1,3,R]
     for (Doi, Le, Lo, ro) in reversed(stack):
         # x holds the even solutions of this level; recover the odds:
         # x[2t+1] = D⁻¹[2t+1] (r[2t+1] − L[2t] x[2t] − Lᵀ[2t+1] x[2t+2])
         x_next = jnp.concatenate(
             [x[1:], jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
-        LoT = jnp.swapaxes(Lo, -1, -2)
-        xo = Doi @ (ro - Le @ x - LoT @ x_next)
+        xo = _mm(Doi, ro - _mm(Le, x)
+                 - _mm(jnp.swapaxes(Lo, -1, -2), x_next))
         k2 = x.shape[0] + xo.shape[0]
         out = jnp.zeros((k2,) + x.shape[1:], x.dtype)
         out = out.at[0::2].set(x)
         out = out.at[1::2].set(xo)
         x = out
+    x = x[:n].reshape(n * group, 3, r_shape[-1])
+    return x[:n3]
 
-    return x[:n]
+
+def _cr_solve(D: jax.Array, L: jax.Array, rhs: jax.Array,
+              group: int = GROUP) -> jax.Array:
+    """One-shot factor + solve (kept for tests/micro-benchmarks)."""
+    return _cr_apply(_cr_factor(D, L, group=group), rhs)
 
 
 @partial(jax.jit, static_argnames=("loop_cap",))
 def chain_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
                 loop_cap: int = 64):
-    """One GN update dx [N,3] via chain-Thomas + Woodbury.
+    """One GN update dx [N,3] via chain cyclic reduction + Woodbury.
 
     Returns ``(dx, dropped)`` — ``dropped`` counts loop edges beyond
     ``loop_cap`` (excluded from the correction; raise the cap or fall
-    back to dense when it fires — no silent truncation)."""
+    back to dense when it fires — no silent truncation).
+
+    Every matmul under this function runs at full f32 precision: TPU
+    matmuls default to bf16 multiplicands, and the cyclic-reduction
+    Schur updates live off cancellation — at bf16 the N=1024 solve
+    diverges to NaN (measured), at f32 it matches the dense solver to
+    ~1e-3 relative."""
+    with jax.default_matmul_precision("float32"):
+        return _chain_delta_impl(g, edge_mask, loop_cap)
+
+
+def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int):
     n = g.poses.shape[0]
     td, b, (li, lj, lJi, lJj, lom), dropped = _assemble(
         g, edge_mask, loop_cap)
@@ -272,34 +369,81 @@ def chain_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
     # U columns: U[3i.., 3m..] = Ji_mᵀ  → tensor [N, 3, 3M]
     Oi = jax.nn.one_hot(li, n, dtype=g.poses.dtype)        # [M,N]
     Oj = jax.nn.one_hot(lj, n, dtype=g.poses.dtype)
-    U = (jnp.einsum("mn,mac->ncma", Oi, lJi)
-         + jnp.einsum("mn,mac->ncma", Oj, lJj)).reshape(n, 3, 3 * m)
+    U = (_es("mn,mac->ncma", Oi, lJi)
+         + _es("mn,mac->ncma", Oj, lJj)).reshape(n, 3, 3 * m)
 
+    fact = _cr_factor(td.D, td.L)
     rhs = jnp.concatenate([(-b)[..., None], U], axis=-1)   # [N,3,1+3M]
-    X = _cr_solve(td.D, td.L, rhs)
+    X = _cr_apply(fact, rhs)
     x0 = X[..., 0]                                         # Hc⁻¹(−b)
     HinvU = X[..., 1:]                                     # [N,3,3M]
 
     # S = Ω⁻¹ (block-diag) + Uᵀ Hc⁻¹ U   [3M, 3M]
     Xi = HinvU[li]                                         # [M,3,3M]
     Xj = HinvU[lj]
-    UtX = (jnp.einsum("mac,mcq->maq", lJi, Xi)
-           + jnp.einsum("mac,mcq->maq", lJj, Xj)).reshape(3 * m, 3 * m)
-    om_inv = jnp.linalg.inv(lom)                           # [M,3,3]
+    UtX = (_es("mac,mcq->maq", lJi, Xi)
+           + _es("mac,mcq->maq", lJj, Xj)).reshape(3 * m, 3 * m)
+    om_inv = _inv3(lom)                                    # [M,3,3]
     # scatter the Ω⁻¹ blocks onto the diagonal of S
     base = 3 * jnp.arange(m)
     ii = (base[:, None, None] + jnp.arange(3)[None, :, None])
     jj2 = (base[:, None, None] + jnp.arange(3)[None, None, :])
     S = UtX.at[ii, jj2].add(om_inv)
 
-    # Uᵀ x0  [3M]
-    Utx0 = (jnp.einsum("mac,mc->ma", lJi, x0[li])
-            + jnp.einsum("mac,mc->ma", lJj, x0[lj])).reshape(3 * m)
-    y = jnp.linalg.solve(S, Utx0)
+    # S is SPD; solve with the framework's own matmul-only machinery
+    # (no LAPACK-style custom calls — the experimental TPU plugin's
+    # linalg lowering is not trusted on this path)
+    from cg_mrslam_tpu.solver.spd import pcg_refine, spd_inverse
 
-    # x = x0 − Hc⁻¹ U y, reusing the already-solved columns Hc⁻¹U
-    corr = HinvU @ y
-    dx = (x0 - corr) * td.free[:, None].astype(x0.dtype)
+    s_inv = spd_inverse(S)
+
+    def ut(x):
+        """Uᵀ x → [3M]."""
+        return (_es("mac,mc->ma", lJi, x[li])
+                + _es("mac,mc->ma", lJj, x[lj])).reshape(3 * m)
+
+    def woodbury(r):
+        """(Hc + UΩUᵀ)⁻¹ r, reusing the factorization + S inverse."""
+        z = _cr_apply(fact, r[..., None])[..., 0]
+        y = pcg_refine(S, ut(z)[:, None], s_inv)[:, 0]
+        return z - _es("ncq,q->nc", HinvU, y)
+
+    def h_matvec(x):
+        """Full (Hc' + U Ω Uᵀ) x — for refinement residuals."""
+        D, L = td.D, td.L
+        xp = jnp.concatenate(
+            [jnp.zeros((1, 3), x.dtype), x[:-1]], axis=0)
+        xn2 = jnp.concatenate(
+            [x[1:], jnp.zeros((1, 3), x.dtype)], axis=0)
+        Lprev = jnp.concatenate(
+            [jnp.zeros((1, 3, 3), L.dtype), L[:-1]], axis=0)
+        y = (_es("nij,nj->ni", D, x)
+             + _es("nij,nj->ni", Lprev, xp)
+             + _es("nji,nj->ni", L, xn2))
+        # loop part: U (Ω (Uᵀ x)) — per edge, w = Ω·(Uᵀx)_m, then Jᵀ-
+        # scatter back to the endpoints
+        utx = ut(x).reshape(m, 3)
+        w = _es("mij,mj->mi", lom, utx)
+        y = y.at[li].add(_es("mac,ma->mc", lJi, w))
+        y = y.at[lj].add(_es("mac,ma->mc", lJj, w))
+        return y
+
+    y0 = pcg_refine(S, ut(x0)[:, None], s_inv)[:, 0]
+    dx = x0 - _es("ncq,q->nc", HinvU, y0)
+
+    # Iterative refinement: the chain-only solve x0 can be enormous when
+    # the open chain is floppy (measured max|x0| ≈ 4e6 on a 1024-pose
+    # ring while |dx| ≈ 30) — the Woodbury subtraction then cancels
+    # catastrophically in f32 and plain GN compounds the error to NaN.
+    # Each refinement pass solves for the (small) residual, where no
+    # cancellation occurs; two passes land the solve at f32 solve
+    # quality. Factorization and S⁻¹ are reused, so a pass costs one
+    # extra 1-RHS CR apply + a few einsums.
+    for _ in range(2):
+        r = -b - h_matvec(dx)
+        dx = dx + woodbury(r)
+
+    dx = dx * td.free[:, None].astype(x0.dtype)
     return dx, dropped
 
 
@@ -311,8 +455,9 @@ def optimize_chain(g: PoseGraph, iterations: int = 5,
     semantics: n GN iterations, additive oplus update)."""
 
     def body(gg, _):
-        dx, _ = chain_delta(gg, edge_mask, loop_cap=loop_cap)
+        dx, _ = _chain_delta_impl(gg, edge_mask, loop_cap)
         return dataclasses.replace(gg, poses=se2.oplus(gg.poses, dx)), None
 
-    g, _ = jax.lax.scan(body, g, None, length=iterations)
+    with jax.default_matmul_precision("float32"):
+        g, _ = jax.lax.scan(body, g, None, length=iterations)
     return g

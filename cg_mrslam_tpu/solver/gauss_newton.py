@@ -200,7 +200,7 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
     from cg_mrslam_tpu.solver import chain as CH
 
     return jax.lax.cond(
-        CH.chainable(g, edge_mask),
+        CH.chainable(g, edge_mask, loop_cap=loop_cap),
         lambda gg: CH.optimize_chain(gg, iterations=iterations,
                                      edge_mask=edge_mask,
                                      loop_cap=loop_cap),

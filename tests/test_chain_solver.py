@@ -72,8 +72,10 @@ def test_chain_delta_matches_dense():
     dx_dense = gn.solve_normal_equations(eq)
     dx_chain, dropped = CH.chain_delta(g, loop_cap=16)
     assert int(dropped) == 0
+    # chain solves through pcg_refine at rel-tol 1e-5 of ||b||; on this
+    # graph that is ~5e-4 absolute on dx
     np.testing.assert_allclose(np.asarray(dx_chain).reshape(-1),
-                               np.asarray(dx_dense), rtol=2e-3, atol=2e-4)
+                               np.asarray(dx_dense), rtol=5e-3, atol=5e-4)
 
 
 def test_optimize_chain_chi2_matches_dense():
@@ -104,3 +106,30 @@ def test_batched_vmap_form():
     # scale rather than relative on ~1e-9 values
     assert (cf < 1e-6).all(), cf
     np.testing.assert_allclose(cf, cd, atol=1e-6)
+
+
+def test_hospital_scale_f32_accuracy():
+    """N=1024: the f32 chain solve must track the f64 one (the TPU bench
+    regime; at bf16 matmul precision this diverges to NaN — chain.py
+    forces f32, and this test pins the f32 error stays in class)."""
+    g = _loop_graph(n=1024, closures=24, seed=5, cap_v=1024, cap_e=1100)
+    # perturb so the solve does real work
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    noisy = np.asarray(g.poses).copy()
+    noisy[1:] += np.concatenate(
+        [rng.normal(0, 0.1, (1023, 2)), rng.normal(0, 0.03, (1023, 1))], 1)
+    g = dataclasses.replace(g, poses=jnp.asarray(noisy, jnp.float32))
+    g64 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float64) if a.dtype == jnp.float32 else a,
+        g)
+    out32 = CH.optimize_chain(g, iterations=5, loop_cap=32)
+    out64 = CH.optimize_chain(g64, iterations=5, loop_cap=32)
+    c32 = float(chi2(out32))
+    c64 = float(chi2(out64))
+    assert np.isfinite(c32)
+    # both converge to the noise floor; f32 lands within solver-noise of
+    # the f64 result (absolute floor, not relative on ~0 chi2)
+    c_init = float(chi2(g))
+    assert c32 < 1e-4 * c_init, (c32, c_init)
+    assert abs(c32 - c64) <= max(0.01 * c64, 5e-3), (c32, c64)
