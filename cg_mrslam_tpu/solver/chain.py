@@ -12,27 +12,35 @@ right for small graphs in huge batches, hopeless at hospital scale
 structure the reference's CSparse Cholesky discovers numerically, but in
 closed form:
 
-* ``H_chain`` solves by **block cyclic reduction**: log₂(N) levels, each
-  eliminating the odd-indexed blocks with batched 3×3 ops over the WHOLE
-  remaining chain — O(N) FLOPs at O(log N) sequential depth. (A
-  block-Thomas ``lax.scan`` is the textbook O(N) alternative, but its N
-  sequential micro-steps are latency-bound on TPU — measured 126
-  hospital-scale solves/s vs thousands for cyclic reduction.)
+* ``H_chain + λI`` factors by **block cyclic reduction**: log₂(N)
+  levels, each eliminating the odd-indexed blocks with batched dense
+  super-block ops over the WHOLE remaining chain — O(N) FLOPs at
+  O(log N) sequential depth. (A block-Thomas ``lax.scan`` is the
+  textbook O(N) alternative, but its N sequential micro-steps are
+  latency-bound on TPU — measured 126 hospital-scale solves/s vs
+  thousands for cyclic reduction.)
 * the loop-closure correction applies the **Woodbury identity** with one
   ``[3M, 3M]`` SPD solve (M = loop edges): MXU work, tiny next to dense
   H⁻¹ since M ≪ N.
+* the damped chain+Woodbury inverse is the PRECONDITIONER of a short
+  **CG iteration on the true H**. The λI damping is what makes the f32
+  factorization trustworthy (the raw open chain is floppy — κ grows
+  ~N³ — and its f32 CR solve carries O(1) relative error at N=1024,
+  measured as GN divergence to NaN on chip); CG restores exactness to
+  solver tolerance regardless, at κ(M·H) ≈ 1 + λ/λ_min(H) — single
+  digits for loop-closed graphs, so it converges in a handful of
+  cheap applies.
 
-Per graph per GN iteration this is ~N·10³ + (3M)³/3 FLOPs instead of
-(3N)³/3 — at N=1024, M=64 a ~2000× FLOP reduction, which is what lets
-one chip run thousands of concurrent hospital-scale solves per second
-(see bench.py).
+Per graph per GN iteration this is ~N·10³·cg_iters + (3M)³/3 FLOPs
+instead of (3N)³/3 — at N=1024, M=64 a ~100× FLOP reduction, which is
+what lets one chip run thousands of concurrent hospital-scale solves
+per second (see bench.py).
 
-Exactness requires every FREE vertex to touch at least one chain edge
-(otherwise H_chain is singular on that block and the εI regularisation
-below makes the solve approximate). Single- and multi-robot SLAM graphs
-satisfy this: every own vertex sits on its odometry chain. Use
-:func:`chainable` to check, and fall back to the dense solver when it
-fails (``optimize_auto`` below does this).
+The fast path expects every FREE vertex to touch at least one chain
+edge (single- and multi-robot SLAM graphs satisfy this: every own
+vertex sits on its odometry chain) — then the preconditioner is strong
+and CG converges fast. Use :func:`chainable` to check, and fall back to
+the dense solver when it fails (``optimize_auto`` below does this).
 
 Reference semantics replaced: g2o ``SparseOptimizer``+``BlockSolver``+
 ``LinearSolverCSparse`` (``/root/reference/src/slam/graph_slam.cpp:
@@ -88,7 +96,8 @@ def chainable(g: PoseGraph, edge_mask: jax.Array | None = None,
 
 
 class _Tridiag(NamedTuple):
-    D: jax.Array      # [N, 3, 3] diagonal blocks
+    D: jax.Array      # [N, 3, 3] λ-damped diagonal blocks (factorized)
+    Dt: jax.Array     # [N, 3, 3] TRUE diagonal blocks (CG matvec)
     L: jax.Array      # [N, 3, 3] — L[k] = H[k+1, k]; L[N-1] unused
     free: jax.Array   # [N] bool
 
@@ -133,10 +142,21 @@ def _assemble(g: PoseGraph, edge_mask, loop_cap: int):
     bj = _es("eki,ekl,el->ei", Jjf, om_all, e)
     b = jnp.zeros((n, 3), g.poses.dtype).at[vi].add(bi).at[vj].add(bj)
 
-    # identity on pinned blocks keeps the tridiag invertible; εI on free
-    # blocks guards chain ends whose single chain edge is rank-deficient
+    # identity on pinned blocks keeps the tridiag invertible. Free blocks
+    # get λI damping with λ ∝ the mean diagonal scale: the UNdamped open
+    # chain is floppy (κ grows ~N³ with the lever arms — measured
+    # |Hc⁻¹b| ≈ 4·10⁶ vs |dx| ≈ 1 at N=1024), so its f32 factorization
+    # carries O(1) relative error and no amount of downstream algebra
+    # recovers it. Damping bounds κ(Hc+λI) ≲ diag/λ ≈ 10⁴ — comfortably
+    # f32 — and exactness is restored OUTSIDE the factorization: the
+    # damped chain+Woodbury inverse serves as the PRECONDITIONER of a CG
+    # iteration on the TRUE Hessian (see ``_chain_delta_impl``).
     eye = jnp.eye(3, dtype=g.poses.dtype)
-    D = jnp.where(free[:, None, None], D + 1e-6 * eye, eye)
+    diag_scale = jnp.sum(D * eye) / jnp.maximum(
+        3.0 * jnp.sum(free.astype(D.dtype)), 1.0)
+    lam = 1e-3 * diag_scale + 1e-6
+    D_true = jnp.where(free[:, None, None], D, eye)
+    D = jnp.where(free[:, None, None], D + lam * eye, eye)
     # decouple across pinned vertices
     Lok = (free[:n - 1] & free[1:]).astype(L.dtype)
     L = L.at[:n - 1].mul(Lok[:, None, None])
@@ -158,7 +178,7 @@ def _assemble(g: PoseGraph, edge_mask, loop_cap: int):
                     jnp.eye(3, dtype=omega.dtype))
     n_loop = jnp.sum(is_loop.astype(jnp.int32))
     dropped = jnp.maximum(n_loop - loop_cap, 0)
-    return (_Tridiag(D=D, L=L, free=free), b,
+    return (_Tridiag(D=D, Dt=D_true, L=L, free=free), b,
             (li, lj, lJi, lJj, lom), dropped)
 
 
@@ -345,11 +365,13 @@ def _cr_solve(D: jax.Array, L: jax.Array, rhs: jax.Array,
 @partial(jax.jit, static_argnames=("loop_cap",))
 def chain_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
                 loop_cap: int = 64):
-    """One GN update dx [N,3] via chain cyclic reduction + Woodbury.
+    """One GN update dx [N,3]: CG on the true H, preconditioned by the
+    λ-damped chain cyclic-reduction + Woodbury inverse.
 
     Returns ``(dx, dropped)`` — ``dropped`` counts loop edges beyond
-    ``loop_cap`` (excluded from the correction; raise the cap or fall
-    back to dense when it fires — no silent truncation).
+    ``loop_cap`` (excluded from the preconditioner's correction AND from
+    chainability; raise the cap or fall back to dense when it fires — no
+    silent truncation).
 
     Every matmul under this function runs at full f32 precision: TPU
     matmuls default to bf16 multiplicands, and the cyclic-reduction
@@ -373,10 +395,7 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int):
          + _es("mn,mac->ncma", Oj, lJj)).reshape(n, 3, 3 * m)
 
     fact = _cr_factor(td.D, td.L)
-    rhs = jnp.concatenate([(-b)[..., None], U], axis=-1)   # [N,3,1+3M]
-    X = _cr_apply(fact, rhs)
-    x0 = X[..., 0]                                         # Hc⁻¹(−b)
-    HinvU = X[..., 1:]                                     # [N,3,3M]
+    HinvU = _cr_apply(fact, U)                             # [N,3,3M]
 
     # S = Ω⁻¹ (block-diag) + Uᵀ Hc⁻¹ U   [3M, 3M]
     Xi = HinvU[li]                                         # [M,3,3M]
@@ -390,27 +409,29 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int):
     jj2 = (base[:, None, None] + jnp.arange(3)[None, None, :])
     S = UtX.at[ii, jj2].add(om_inv)
 
-    # S is SPD; solve with the framework's own matmul-only machinery
+    # S is SPD; invert with the framework's own matmul-only machinery
     # (no LAPACK-style custom calls — the experimental TPU plugin's
     # linalg lowering is not trusted on this path)
-    from cg_mrslam_tpu.solver.spd import pcg_refine, spd_inverse
+    from cg_mrslam_tpu.solver.spd import spd_inverse
 
     s_inv = spd_inverse(S)
+    s_inv = 0.5 * (s_inv + s_inv.T)     # preconditioner must be symmetric
 
     def ut(x):
         """Uᵀ x → [3M]."""
         return (_es("mac,mc->ma", lJi, x[li])
                 + _es("mac,mc->ma", lJj, x[lj])).reshape(3 * m)
 
-    def woodbury(r):
-        """(Hc + UΩUᵀ)⁻¹ r, reusing the factorization + S inverse."""
+    def precond(r):
+        """M r = (Hc+λI + UΩUᵀ)⁻¹ r via Woodbury, reusing the CR
+        factorization, Hc_d⁻¹U columns, and S⁻¹ (symmetric, SPD)."""
         z = _cr_apply(fact, r[..., None])[..., 0]
-        y = pcg_refine(S, ut(z)[:, None], s_inv)[:, 0]
+        y = _mm(s_inv, ut(z))
         return z - _es("ncq,q->nc", HinvU, y)
 
     def h_matvec(x):
-        """Full (Hc' + U Ω Uᵀ) x — for refinement residuals."""
-        D, L = td.D, td.L
+        """TRUE H x = (Hc + U Ω Uᵀ) x — undamped diagonal blocks."""
+        D, L = td.Dt, td.L
         xp = jnp.concatenate(
             [jnp.zeros((1, 3), x.dtype), x[:-1]], axis=0)
         xn2 = jnp.concatenate(
@@ -428,22 +449,41 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int):
         y = y.at[lj].add(_es("mac,ma->mc", lJj, w))
         return y
 
-    y0 = pcg_refine(S, ut(x0)[:, None], s_inv)[:, 0]
-    dx = x0 - _es("ncq,q->nc", HinvU, y0)
+    # Preconditioned CG on the TRUE Hessian. The damped Woodbury M is an
+    # excellent preconditioner (κ(M·H) ≈ 1 + λ/λ_min(H), single-digit for
+    # loop-closed graphs), and CG is exact on convergence no matter how
+    # ill-conditioned the raw chain was — this is what makes the fast
+    # path safe in f32 on TPU, where the undamped factor-and-correct
+    # variant diverged (measured: chi2 6e4 → 7e7 → NaN at N=1024).
+    bb = -b
+    x = precond(bb)
+    r = bb - h_matvec(x)
+    z = precond(r)
+    bn = jnp.maximum(jnp.sum(bb * bb), 1e-30)
+    tol2 = jnp.asarray(1e-12, bb.dtype)   # ‖r‖/‖b‖ ≤ 1e-6
 
-    # Iterative refinement: the chain-only solve x0 can be enormous when
-    # the open chain is floppy (measured max|x0| ≈ 4e6 on a 1024-pose
-    # ring while |dx| ≈ 30) — the Woodbury subtraction then cancels
-    # catastrophically in f32 and plain GN compounds the error to NaN.
-    # Each refinement pass solves for the (small) residual, where no
-    # cancellation occurs; two passes land the solve at f32 solve
-    # quality. Factorization and S⁻¹ are reused, so a pass costs one
-    # extra 1-RHS CR apply + a few einsums.
-    for _ in range(2):
-        r = -b - h_matvec(dx)
-        dx = dx + woodbury(r)
+    def cond(s):
+        k, _, rr, _, _ = s
+        return (k < 48) & (jnp.sum(rr * rr) / bn > tol2)
 
-    dx = dx * td.free[:, None].astype(x0.dtype)
+    def body(s):
+        k, x, rr, p, rz = s
+        hp = h_matvec(p)
+        den = jnp.sum(p * hp)
+        ok = den > 1e-30
+        alpha = jnp.where(ok, rz / jnp.where(ok, den, 1.0), 0.0)
+        x = x + alpha * p
+        rr = rr - alpha * hp
+        zz = precond(rr)
+        rz2 = jnp.sum(rr * zz)
+        okb = jnp.abs(rz) > 1e-30
+        beta = jnp.where(okb, rz2 / jnp.where(okb, rz, 1.0), 0.0)
+        return k + 1, x, rr, zz + beta * p, rz2
+
+    _, dx, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x, r, z, jnp.sum(r * z)))
+
+    dx = dx * td.free[:, None].astype(dx.dtype)
     return dx, dropped
 
 

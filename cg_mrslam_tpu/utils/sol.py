@@ -133,6 +133,16 @@ def account(name: str, seconds: float, bytes_moved: float, flops: float,
     }
 
 
+def xla_cost(jitted, *args) -> tuple:
+    """(flops, bytes accessed) of the compiled executable, from XLA's own
+    cost model — used where a hand-derived operation count would be
+    guesswork (the chain solver's cyclic-reduction tree)."""
+    c = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(c, (list, tuple)):
+        c = c[0]
+    return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+
+
 def report() -> list:
     """Measure ceilings + the two hot loops; returns accounting dicts."""
     from cg_mrslam_tpu.core import graph as G
@@ -192,6 +202,29 @@ def report() -> list:
     bytes_m = b * 5 * ((3 * n) ** 2 * 4 * 3)
     rows.append(account("batched GN x5 (1024 graphs)", dt, bytes_m, flops,
                         ceil, unit="mxu_f32"))
+
+    # --- hot loop #2b: hospital-scale chain+Woodbury solve (the headline
+    # bench path) — flops/bytes from XLA's cost model of the compiled
+    # executable rather than a hand count (the CR tree + Woodbury +
+    # refinement structure is too intricate to count honestly by hand) ---
+    try:
+        import sys
+        sys.path.insert(0, ".")
+        from bench import build_hospital_batch
+        from cg_mrslam_tpu.solver import chain as CH
+
+        g = build_hospital_batch(512)
+        step = jax.jit(jax.vmap(
+            lambda gg: CH.optimize_chain(gg, iterations=5, loop_cap=64)))
+        gs = [jax.block_until_ready(dc.replace(g, poses=g.poses + 1e-4 * k))
+              for k in range(4)]
+        dt = _timeit(lambda x: step(x).poses, gs)
+        flops, bytes_m = xla_cost(step, g)
+        rows.append(account(
+            "chain+Woodbury GN x5 (512 x 1024-pose, XLA cost model)",
+            dt, bytes_m, flops, ceil, unit="mxu_f32"))
+    except Exception as e:  # bench.py not importable outside repo root
+        rows.append({"kernel": "chain+Woodbury GN x5", "skipped": str(e)})
     return rows
 
 

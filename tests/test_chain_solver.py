@@ -133,3 +133,22 @@ def test_hospital_scale_f32_accuracy():
     c_init = float(chi2(g))
     assert c32 < 1e-4 * c_init, (c32, c_init)
     assert abs(c32 - c64) <= max(0.01 * c64, 5e-3), (c32, c64)
+
+
+def test_bench_geometry_f32_convergence():
+    """The EXACT headline-bench regime (40 m ring, info 100/100/1000,
+    0.15 m / 0.04 rad noise, 48 cross-ring closures): the round-2 on-chip
+    failure mode — the undamped chain factor-and-correct variant took
+    chi2 6.3e4 -> 7.3e7 -> NaN here while the smaller-radius test above
+    passed. The damped-preconditioner CG form must converge."""
+    import sys
+    sys.path.insert(0, ".")
+    from bench import build_hospital_batch
+
+    g0 = build_hospital_batch(2)
+    g = jax.tree_util.tree_map(lambda a: a[0], g0)
+    c0 = float(chi2(g))
+    out = CH.optimize_chain(g, iterations=5, loop_cap=64)
+    c1 = float(chi2(out))
+    assert np.isfinite(c1)
+    assert c1 < 1e-4 * c0, (c0, c1)
