@@ -362,9 +362,10 @@ def _cr_solve(D: jax.Array, L: jax.Array, rhs: jax.Array,
     return _cr_apply(_cr_factor(D, L, group=group), rhs)
 
 
-@partial(jax.jit, static_argnames=("loop_cap",))
+@partial(jax.jit, static_argnames=("loop_cap", "cg_iters"))
 def chain_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
-                loop_cap: int = 64):
+                loop_cap: int = 64, cg_tol: float = 1e-6,
+                cg_iters: int = 48):
     """One GN update dx [N,3]: CG on the true H, preconditioned by the
     λ-damped chain cyclic-reduction + Woodbury inverse.
 
@@ -379,10 +380,12 @@ def chain_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
     diverges to NaN (measured), at f32 it matches the dense solver to
     ~1e-3 relative."""
     with jax.default_matmul_precision("float32"):
-        return _chain_delta_impl(g, edge_mask, loop_cap)
+        return _chain_delta_impl(g, edge_mask, loop_cap,
+                                 cg_tol=cg_tol, cg_iters=cg_iters)
 
 
-def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int):
+def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
+                      cg_tol: float = 1e-6, cg_iters: int = 48):
     n = g.poses.shape[0]
     td, b, (li, lj, lJi, lJj, lom), dropped = _assemble(
         g, edge_mask, loop_cap)
@@ -460,11 +463,11 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int):
     r = bb - h_matvec(x)
     z = precond(r)
     bn = jnp.maximum(jnp.sum(bb * bb), 1e-30)
-    tol2 = jnp.asarray(1e-12, bb.dtype)   # ‖r‖/‖b‖ ≤ 1e-6
+    tol2 = jnp.asarray(cg_tol * cg_tol, bb.dtype)   # on ‖r‖/‖b‖
 
     def cond(s):
         k, _, rr, _, _ = s
-        return (k < 48) & (jnp.sum(rr * rr) / bn > tol2)
+        return (k < cg_iters) & (jnp.sum(rr * rr) / bn > tol2)
 
     def body(s):
         k, x, rr, p, rz = s
@@ -487,15 +490,17 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int):
     return dx, dropped
 
 
-@partial(jax.jit, static_argnames=("iterations", "loop_cap"))
+@partial(jax.jit, static_argnames=("iterations", "loop_cap", "cg_iters"))
 def optimize_chain(g: PoseGraph, iterations: int = 5,
                    edge_mask: jax.Array | None = None,
-                   loop_cap: int = 64) -> PoseGraph:
+                   loop_cap: int = 64, cg_tol: float = 1e-6,
+                   cg_iters: int = 48) -> PoseGraph:
     """``optimize(n)`` on the chain+Woodbury path (g2o ``optimize``
     semantics: n GN iterations, additive oplus update)."""
 
     def body(gg, _):
-        dx, _ = _chain_delta_impl(gg, edge_mask, loop_cap)
+        dx, _ = _chain_delta_impl(gg, edge_mask, loop_cap,
+                                  cg_tol=cg_tol, cg_iters=cg_iters)
         return dataclasses.replace(gg, poses=se2.oplus(gg.poses, dx)), None
 
     with jax.default_matmul_precision("float32"):
