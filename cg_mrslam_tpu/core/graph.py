@@ -188,6 +188,35 @@ def remove_edges(g: PoseGraph, kill: jax.Array) -> PoseGraph:
     return dataclasses.replace(g, emask=g.emask & ~kill)
 
 
+def permute_vertices(g: PoseGraph, order: jax.Array) -> PoseGraph:
+    """Relabel vertex slots: slot ``k`` of the result is slot ``order[k]``
+    of ``g`` (``order`` must be a permutation of ``arange(N)``). Edge slots
+    keep their positions — only the endpoint indices are remapped — so
+    per-edge masks stay valid across the permutation.
+
+    This is the enabling transform for the chain+Woodbury fast path on
+    REAL multi-robot graphs: foreign vertices arrive interleaved with own
+    keyframes (``mr/mrslam.py:receive_combo`` appends at ``n_vertices``),
+    so own odometry edges stop being slot-adjacent; gathering slots into
+    (owner, keyframe-index) order restores block-tridiagonality. The
+    reference gets the same effect implicitly from CSparse's fill-in
+    ordering (``/root/reference/src/slam/graph_slam.cpp:44-55``).
+    """
+    n = g.poses.shape[-2]
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return dataclasses.replace(
+        g, poses=g.poses[order], vmask=g.vmask[order], fixed=g.fixed[order],
+        e_ij=inv[g.e_ij])
+
+
+def inverse_permutation(order: jax.Array) -> jax.Array:
+    """``inv`` with ``inv[order[k]] = k``."""
+    n = order.shape[0]
+    return jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+
 def active_edge_mask(g: PoseGraph, include_condensed: bool = True) -> jax.Array:
     """Edge mask for optimization.
 

@@ -36,11 +36,24 @@ instead of (3N)³/3 — at N=1024, M=64 a ~100× FLOP reduction, which is
 what lets one chip run thousands of concurrent hospital-scale solves
 per second (see bench.py).
 
-The fast path expects every FREE vertex to touch at least one chain
-edge (single- and multi-robot SLAM graphs satisfy this: every own
-vertex sits on its odometry chain) — then the preconditioner is strong
-and CG converges fast. Use :func:`chainable` to check, and fall back to
-the dense solver when it fails (``optimize_auto`` below does this).
+**Multi-robot graphs take this path through a slot permutation.** In a
+merged graph, foreign vertices interleave with own keyframes in slot
+order (``mr/mrslam.py:receive_combo`` appends at ``n_vertices``), so own
+odometry edges stop being slot-adjacent. :func:`chain_order` builds the
+permutation that gathers vertices into (owner, keyframe-index) order —
+under it every robot's odometry chain is a contiguous block-tridiagonal
+run (chains decouple at owner boundaries: L-block 0), and everything
+else (own loop closures, inter-robot closures, spliced condensed stars)
+lands in the Woodbury term. ``optimize_chain(g, order=...)`` permutes,
+solves, and scatters back; the reference gets the same effect implicitly
+from CSparse's fill-reducing ordering.
+
+:func:`chainable` returns True when the fast path is EXACT vs the dense
+solver: every vertex the dense solver would optimize is covered by the
+preconditioner (a chain edge or a within-``loop_cap`` loop edge — beyond
+the cap, loop edges are excluded from the whole truncated system, which
+stays consistent but no longer equals the full problem, so overflow
+disqualifies). ``optimize_auto`` checks it and falls back.
 
 Reference semantics replaced: g2o ``SparseOptimizer``+``BlockSolver``+
 ``LinearSolverCSparse`` (``/root/reference/src/slam/graph_slam.cpp:
@@ -76,23 +89,73 @@ def chain_masks(g: PoseGraph, edge_mask: jax.Array | None = None):
     return is_chain, mask & ~is_chain
 
 
+def chain_order(v_owner: jax.Array, v_remote: jax.Array,
+                vmask: jax.Array) -> jax.Array:
+    """Slot permutation gathering live vertices into (owner,
+    keyframe-index) order — the ordering under which every robot's
+    odometry chain is slot-adjacent (consecutive own keyframes have
+    consecutive remote indices, and no vertex can sort between remote
+    ``r`` and ``r+1`` of the same owner). Use with
+    ``optimize_chain(g, order=...)`` / ``chainable(g, order=...)``.
+    Dead slots sort to the end."""
+    big = jnp.int32(1 << 20)  # v_remote < 2^20 (capacity bound)
+    key = jnp.where(vmask, v_owner * big + jnp.maximum(v_remote, 0),
+                    jnp.int32(0x7FFFFFFF))
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def _select_loops(is_loop: jax.Array, loop_cap: int):
+    """First ``loop_cap`` active loop edges (ascending slot).
+
+    Returns ``(sel [cap], lmask [cap], loop_used [E], dropped [])`` —
+    ``loop_used`` marks the selected slots; ``dropped`` counts active
+    loop edges beyond the cap (excluded from the WHOLE truncated system,
+    see :func:`_assemble`)."""
+    e = is_loop.shape[0]
+    eidx = jnp.arange(e, dtype=jnp.int32)
+    order = jnp.where(is_loop, eidx, jnp.int32(e))
+    sel = jnp.sort(order)[:loop_cap]
+    lmask = sel < e
+    sel = jnp.clip(sel, 0, e - 1)
+    loop_used = jnp.zeros_like(is_loop).at[
+        jnp.where(lmask, sel, e)].set(True, mode="drop")
+    n_loop = jnp.sum(is_loop.astype(jnp.int32)).astype(jnp.int32)
+    dropped = jnp.maximum(n_loop - loop_cap, 0).astype(jnp.int32)
+    return sel, lmask, loop_used, dropped
+
+
 def chainable(g: PoseGraph, edge_mask: jax.Array | None = None,
-              loop_cap: int | None = None) -> jax.Array:
-    """True when every free vertex touches a chain edge (solver exact).
-    With ``loop_cap``, additionally require the loop-edge count to fit —
-    edges beyond the cap would be silently EXCLUDED from the correction,
-    so a capacity overflow must disqualify the fast path, not degrade
-    it."""
+              loop_cap: int | None = None,
+              order: jax.Array | None = None) -> jax.Array:
+    """True when the fast path is EXACT vs the dense solver on this
+    graph: no active loop edge beyond ``loop_cap`` (beyond-cap edges are
+    excluded from the truncated system — a consistent but DIFFERENT
+    problem), and every vertex the dense solver would optimize (live,
+    unfixed, touched by an active edge) is covered by a chain edge or a
+    selected loop edge. Vertices with no active edges at all are pinned
+    by both solvers identically and do not disqualify."""
+    if order is not None:
+        from cg_mrslam_tpu.core.graph import permute_vertices
+
+        g = permute_vertices(g, order)
     is_chain, is_loop = chain_masks(g, edge_mask)
+    if loop_cap is None:
+        loop_used = is_loop
+        cap_ok = jnp.asarray(True)
+    else:
+        _, _, loop_used, dropped = _select_loops(is_loop, loop_cap)
+        cap_ok = dropped == 0
     n = g.poses.shape[0]
-    deg = jnp.zeros((n,), jnp.int32)
-    cm = is_chain.astype(jnp.int32)
-    deg = deg.at[g.e_ij[:, 0]].add(cm).at[g.e_ij[:, 1]].add(cm)
-    free = g.vmask & ~g.fixed
-    ok = jnp.all(~free | (deg > 0))
-    if loop_cap is not None:
-        ok = ok & (jnp.sum(is_loop.astype(jnp.int32)) <= loop_cap)
-    return ok
+
+    def deg_of(m):
+        d = jnp.zeros((n,), jnp.int32)
+        mi = m.astype(jnp.int32)
+        return d.at[g.e_ij[:, 0]].add(mi).at[g.e_ij[:, 1]].add(mi)
+
+    deg_any = deg_of(is_chain | is_loop)
+    deg_used = deg_of(is_chain | loop_used)
+    free_any = g.vmask & ~g.fixed & (deg_any > 0)
+    return jnp.all(~free_any | (deg_used > 0)) & cap_ok
 
 
 class _Tridiag(NamedTuple):
@@ -110,10 +173,18 @@ def _assemble(g: PoseGraph, edge_mask, loop_cap: int):
     omega = unpack_info(g.e_info)
     vi, vj = g.e_ij[:, 0], g.e_ij[:, 1]
 
-    # ---- free mask (same pinning rule as the dense solver) ----
-    mask_any = is_chain | is_loop
+    # loop selection first: edges beyond loop_cap are excluded from the
+    # WHOLE truncated system (gradient, degree/pinning, Woodbury factors
+    # alike) so the solved system stays consistent — solving the full
+    # gradient against a truncated Hessian would converge CG tightly to
+    # the wrong answer. `chainable(loop_cap=...)` disqualifies the fast
+    # path whenever dropped > 0, so truncation never silently degrades.
+    sel, lmask, loop_used, dropped = _select_loops(is_loop, loop_cap)
+
+    # ---- free mask (dense-solver pinning rule, on the truncated system)
+    mask_used = is_chain | loop_used
     deg = jnp.zeros((n,), jnp.int32)
-    am = mask_any.astype(jnp.int32)
+    am = mask_used.astype(jnp.int32)
     deg = deg.at[vi].add(am).at[vj].add(am)
     free = g.vmask & ~g.fixed & (deg > 0)
 
@@ -136,10 +207,11 @@ def _assemble(g: PoseGraph, edge_mask, loop_cap: int):
     L = jnp.zeros((n, 3, 3), g.poses.dtype)
     L = L.at[vi].add(jnp.swapaxes(Hij, -1, -2) * cm)
 
-    # gradient b over ALL active edges (chain + loop)
-    om_all = omega * mask_any.astype(omega.dtype)[:, None, None]
-    bi = _es("eki,ekl,el->ei", Jif, om_all, e)
-    bj = _es("eki,ekl,el->ei", Jjf, om_all, e)
+    # gradient b over the edges IN the truncated system (chain + selected
+    # loops — never edges the Hessian doesn't carry)
+    om_used = omega * mask_used.astype(omega.dtype)[:, None, None]
+    bi = _es("eki,ekl,el->ei", Jif, om_used, e)
+    bj = _es("eki,ekl,el->ei", Jjf, om_used, e)
     b = jnp.zeros((n, 3), g.poses.dtype).at[vi].add(bi).at[vj].add(bj)
 
     # identity on pinned blocks keeps the tridiag invertible. Free blocks
@@ -162,13 +234,7 @@ def _assemble(g: PoseGraph, edge_mask, loop_cap: int):
     L = L.at[:n - 1].mul(Lok[:, None, None])
     L = L.at[n - 1].set(0.0)
 
-    # ---- loop factors: first `loop_cap` active loop edges ----
-    eidx = jnp.arange(is_loop.shape[0], dtype=jnp.int32)
-    order = jnp.where(is_loop, eidx, jnp.int32(is_loop.shape[0]))
-    sel = jnp.sort(order)[:loop_cap]                       # ascending
-    pad = sel >= is_loop.shape[0]
-    sel = jnp.clip(sel, 0, is_loop.shape[0] - 1)
-    lmask = ~pad
+    # ---- loop factors: the selected loop edges ----
     li = jnp.where(lmask, vi[sel], 0)
     lj = jnp.where(lmask, vj[sel], 0)
     lm3 = lmask.astype(Ji.dtype)[:, None, None]
@@ -176,8 +242,6 @@ def _assemble(g: PoseGraph, edge_mask, loop_cap: int):
     lJj = Jjf[sel] * lm3
     lom = jnp.where(lmask[:, None, None], omega[sel],
                     jnp.eye(3, dtype=omega.dtype))
-    n_loop = jnp.sum(is_loop.astype(jnp.int32))
-    dropped = jnp.maximum(n_loop - loop_cap, 0)
     return (_Tridiag(D=D, Dt=D_true, L=L, free=free), b,
             (li, lj, lJi, lJj, lom), dropped)
 
@@ -365,12 +429,15 @@ def _cr_solve(D: jax.Array, L: jax.Array, rhs: jax.Array,
 @partial(jax.jit, static_argnames=("loop_cap", "cg_iters"))
 def chain_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
                 loop_cap: int = 64, cg_tol: float = 1e-6,
-                cg_iters: int = 48):
+                cg_iters: int = 48, order: jax.Array | None = None):
     """One GN update dx [N,3]: CG on the true H, preconditioned by the
     λ-damped chain cyclic-reduction + Woodbury inverse.
 
+    ``order`` (optional) solves under a slot permutation (see
+    :func:`chain_order`); the returned ``dx`` is in ORIGINAL slot order.
+
     Returns ``(dx, dropped)`` — ``dropped`` counts loop edges beyond
-    ``loop_cap`` (excluded from the preconditioner's correction AND from
+    ``loop_cap`` (excluded from the truncated system AND from
     chainability; raise the cap or fall back to dense when it fires — no
     silent truncation).
 
@@ -380,8 +447,18 @@ def chain_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
     diverges to NaN (measured), at f32 it matches the dense solver to
     ~1e-3 relative."""
     with jax.default_matmul_precision("float32"):
-        return _chain_delta_impl(g, edge_mask, loop_cap,
-                                 cg_tol=cg_tol, cg_iters=cg_iters)
+        if order is None:
+            return _chain_delta_impl(g, edge_mask, loop_cap,
+                                     cg_tol=cg_tol, cg_iters=cg_iters)
+        from cg_mrslam_tpu.core.graph import (
+            inverse_permutation, permute_vertices,
+        )
+
+        inv = inverse_permutation(order)
+        dx, dropped = _chain_delta_impl(
+            permute_vertices(g, order), edge_mask, loop_cap,
+            cg_tol=cg_tol, cg_iters=cg_iters)
+        return dx[inv], dropped
 
 
 def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
@@ -490,19 +567,40 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
     return dx, dropped
 
 
-@partial(jax.jit, static_argnames=("iterations", "loop_cap", "cg_iters"))
+@partial(jax.jit, static_argnames=("iterations", "loop_cap", "cg_iters",
+                                   "return_dropped"))
 def optimize_chain(g: PoseGraph, iterations: int = 5,
                    edge_mask: jax.Array | None = None,
                    loop_cap: int = 64, cg_tol: float = 1e-6,
-                   cg_iters: int = 48) -> PoseGraph:
+                   cg_iters: int = 48, order: jax.Array | None = None,
+                   return_dropped: bool = False):
     """``optimize(n)`` on the chain+Woodbury path (g2o ``optimize``
-    semantics: n GN iterations, additive oplus update)."""
+    semantics: n GN iterations, additive oplus update). ``order``
+    (optional) solves under a slot permutation (:func:`chain_order`);
+    the result is in original slot order. With ``return_dropped`` the
+    max over-iterations loop-edge overflow count rides along so batched
+    callers (bench, sol) can assert the truncation never fired."""
+    if order is not None:
+        from cg_mrslam_tpu.core.graph import (
+            inverse_permutation, permute_vertices,
+        )
 
-    def body(gg, _):
-        dx, _ = _chain_delta_impl(gg, edge_mask, loop_cap,
-                                  cg_tol=cg_tol, cg_iters=cg_iters)
-        return dataclasses.replace(gg, poses=se2.oplus(gg.poses, dx)), None
+        inv = inverse_permutation(order)
+        gp = optimize_chain(permute_vertices(g, order), iterations,
+                            edge_mask, loop_cap, cg_tol, cg_iters,
+                            return_dropped=True)
+        gp, dropped = gp
+        out = dataclasses.replace(g, poses=gp.poses[inv])
+        return (out, dropped) if return_dropped else out
+
+    def body(carry, _):
+        gg, dmax = carry
+        dx, dropped = _chain_delta_impl(gg, edge_mask, loop_cap,
+                                        cg_tol=cg_tol, cg_iters=cg_iters)
+        gg = dataclasses.replace(gg, poses=se2.oplus(gg.poses, dx))
+        return (gg, jnp.maximum(dmax, dropped)), None
 
     with jax.default_matmul_precision("float32"):
-        g, _ = jax.lax.scan(body, g, None, length=iterations)
-    return g
+        (g, dmax), _ = jax.lax.scan(body, (g, jnp.int32(0)), None,
+                                    length=iterations)
+    return (g, dmax) if return_dropped else g

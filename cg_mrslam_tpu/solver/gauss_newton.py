@@ -179,17 +179,22 @@ PCG_MIN = 4096
 
 def optimize_auto(g: PoseGraph, iterations: int = 5,
                   edge_mask: jax.Array | None = None,
-                  loop_cap: int = 64) -> PoseGraph:
+                  loop_cap: int = 64,
+                  order: jax.Array | None = None) -> PoseGraph:
     """``optimize`` with a scale-appropriate backend.
 
     Static capacity picks the band; inside the chain band a runtime
     :func:`cg_mrslam_tpu.solver.chain.chainable` check falls back to the
-    dense solver for graphs whose free vertices are not all
-    chain-covered (e.g. multi-robot graphs with interleaved foreign
-    vertices). All three backends implement the same GN semantics; the
-    parity suites pin dense, the chain tests pin chain ≡ dense.
+    dense solver when the fast path would not be exact (loop-cap
+    overflow, or a dense-solvable vertex not covered by the truncated
+    system). ``order`` is the slot permutation that makes real
+    multi-robot merged graphs block-tridiagonal
+    (:func:`cg_mrslam_tpu.solver.chain.chain_order`); without it the
+    slot order itself must be chain-adjacent. All three backends
+    implement the same GN semantics; the parity suites pin dense, the
+    chain tests pin chain ≡ dense.
     """
-    n = g.poses.shape[-1 - 1]
+    n = g.poses.shape[-2]
     if n > PCG_MIN:
         from cg_mrslam_tpu.solver.pcg import optimize_pcg
 
@@ -200,10 +205,10 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
     from cg_mrslam_tpu.solver import chain as CH
 
     return jax.lax.cond(
-        CH.chainable(g, edge_mask, loop_cap=loop_cap),
+        CH.chainable(g, edge_mask, loop_cap=loop_cap, order=order),
         lambda gg: CH.optimize_chain(gg, iterations=iterations,
                                      edge_mask=edge_mask,
-                                     loop_cap=loop_cap),
+                                     loop_cap=loop_cap, order=order),
         lambda gg: optimize(gg, iterations, edge_mask),
         g)
 

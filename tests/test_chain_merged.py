@@ -1,0 +1,198 @@
+"""Chain+Woodbury fast path on REAL multi-robot merged graphs.
+
+Round-2 verdict: the headline bench graph was chain-friendly by slot
+construction, while an actual 2-robot merged graph interleaves foreign
+vertices into the slot sequence (``mr/mrslam.py:receive_combo`` places
+at ``n_vertices``) so own odometry edges stop being slot-adjacent and
+the fast path could never fire. These tests pin the fix:
+
+* ``chain_order`` gathers slots into (owner, keyframe) order, restoring
+  block-tridiagonality — own odometry edges that are loop-class in raw
+  slot order become chain-class under the permutation;
+* ``optimize_chain(order=...)`` matches the dense solver on a merged
+  graph produced by the REAL exchange protocol (``MultiRobotSim``), not
+  a synthetic lookalike;
+* ``chainable`` now answers "is the fast path EXACT here" — loop-only
+  covered vertices (foreign vertices held by closure/star edges) are
+  fine; beyond-cap loop edges disqualify.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cg_mrslam_tpu.core import graph as G
+from cg_mrslam_tpu.core.linearize import chi2
+from cg_mrslam_tpu.solver import chain as CH
+from cg_mrslam_tpu.solver import gauss_newton as gn
+
+
+def _interleaved_merged_graph(n_own=60, n_foreign=8, seed=0,
+                              cap_v=96, cap_e=256):
+    """Robot 0's view of a 2-robot run, built with the real structural
+    rules: own odometry chain in keyframe order, foreign vertices
+    appended at arrival time (interleaved slots, no foreign odometry
+    edges), inter-robot closure edges my_ref->foreign, a condensed star
+    gauge->boundary over the foreign vertices, own loop closures."""
+    rng = np.random.default_rng(seed)
+    th = np.linspace(0, 2 * np.pi, n_own, endpoint=False)
+    gt = np.stack([8 * np.cos(th), 8 * np.sin(th), th + np.pi / 2], 1)
+
+    def rel(a, b):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        d = b[:2] - a[:2]
+        return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1],
+                         (b[2] - a[2] + np.pi) % (2 * np.pi) - np.pi])
+
+    g = G.empty(cap_v, cap_e)
+    info = jnp.asarray([100.0, 0.0, 0, 100.0, 0, 1000.0], jnp.float32)
+    v_owner = np.zeros(cap_v, np.int32)
+    v_remote = np.full(cap_v, -1, np.int32)
+
+    # interleave: a foreign vertex arrives every `n_own // n_foreign`
+    # own keyframes (placed at the then-current n_vertices, like
+    # receive_combo)
+    foreign_every = max(2, n_own // n_foreign)
+    slot_of_own = {}
+    foreign_slots = []
+    slot = 0
+    fidx = 0
+    for k in range(n_own):
+        est = gt[k] + np.concatenate(
+            [rng.normal(0, 0.15, 2), rng.normal(0, 0.04, 1)])
+        if k == 0:
+            est = gt[0]
+        g = G.add_vertex(g, jnp.asarray(est, jnp.float32), fixed=(k == 0))
+        v_owner[slot] = 0
+        v_remote[slot] = k
+        slot_of_own[k] = slot
+        slot += 1
+        if k > 0:
+            g = G.add_edge(g, slot_of_own[k - 1], slot_of_own[k],
+                           jnp.asarray(rel(gt[k - 1], gt[k]), jnp.float32),
+                           info, owner=0)
+        if k > 0 and k % foreign_every == 0 and fidx < n_foreign:
+            # foreign vertex: peer pose near my trajectory (so a closure
+            # is geometrically sane), parked at the current slot
+            fpose = gt[k] + np.array([0.5, -0.3, 0.1])
+            g = G.add_vertex(g, jnp.asarray(
+                fpose + np.concatenate([rng.normal(0, 0.1, 2),
+                                        rng.normal(0, 0.03, 1)]),
+                jnp.float32))
+            v_owner[slot] = 1
+            v_remote[slot] = 3 * fidx + 1   # peer keyframes with gaps
+            foreign_slots.append((slot, fpose, k))
+            fidx += 1
+            slot += 1
+
+    # inter-robot closure edges my_ref -> foreign (accepted votes)
+    for (fs, fpose, k) in foreign_slots:
+        g = G.add_edge(g, slot_of_own[k], fs,
+                       jnp.asarray(rel(gt[k], fpose), jnp.float32),
+                       info, owner=0)
+    # condensed star from the peer: gauge = first foreign slot
+    gauge_slot, gauge_pose, _ = foreign_slots[0]
+    for (fs, fpose, _) in foreign_slots[1:]:
+        g = G.add_edge(g, gauge_slot, fs,
+                       jnp.asarray(rel(gauge_pose, fpose), jnp.float32),
+                       info, level=2, owner=1)
+    # own loop closures
+    for c in range(6):
+        i = int(rng.integers(1, n_own - 1))
+        j = (i + n_own // 2) % n_own
+        i, j = min(i, j), max(i, j)
+        if j <= i + 1:
+            continue
+        g = G.add_edge(g, slot_of_own[i], slot_of_own[j],
+                       jnp.asarray(rel(gt[i], gt[j]), jnp.float32),
+                       info, owner=0)
+    return g, jnp.asarray(v_owner), jnp.asarray(v_remote)
+
+
+def test_order_restores_chain_adjacency():
+    g, vo, vr = _interleaved_merged_graph()
+    order = CH.chain_order(vo, vr, g.vmask)
+    chain_raw, loop_raw = CH.chain_masks(g)
+    gp = G.permute_vertices(g, order)
+    chain_ord, loop_ord = CH.chain_masks(gp)
+    # interleaving broke some own odometry edges out of the chain class;
+    # the permutation brings them back
+    assert int(jnp.sum(chain_ord)) > int(jnp.sum(chain_raw))
+    # under (owner, remote) order every own odometry edge is chain-class
+    # (>=: loop/star edges whose endpoints land adjacent are absorbed
+    # into the chain part too — harmless, the tridiagonal just carries
+    # that coupling directly)
+    assert int(jnp.sum(chain_ord)) >= 59
+    assert bool(CH.chainable(g, loop_cap=32, order=order))
+
+
+def test_permuted_chain_matches_dense_delta():
+    g, vo, vr = _interleaved_merged_graph()
+    order = CH.chain_order(vo, vr, g.vmask)
+    dx_dense = gn.solve_normal_equations(gn.build_normal_equations(g))
+    dx_chain, dropped = CH.chain_delta(g, loop_cap=32, order=order)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(dx_chain).reshape(-1),
+                               np.asarray(dx_dense), rtol=5e-3, atol=5e-4)
+
+
+def test_permuted_optimize_matches_dense_chi2():
+    g, vo, vr = _interleaved_merged_graph(seed=2)
+    order = CH.chain_order(vo, vr, g.vmask)
+    c0 = float(chi2(g))
+    dense = gn.optimize(g, iterations=5)
+    fast, dropped = CH.optimize_chain(g, iterations=5, loop_cap=32,
+                                      order=order, return_dropped=True)
+    assert int(dropped) == 0
+    cd, cf = float(chi2(dense)), float(chi2(fast))
+    assert cf < 0.05 * c0
+    assert abs(cf - cd) <= 0.01 * max(cd, 1e-6)
+
+
+def test_optimize_auto_takes_chain_band_with_order():
+    """optimize_auto in the chain band (N=1024 capacity) with an order
+    must pick the chain backend on a merged graph — pinned by matching
+    the explicit chain solve bit-for-bit (the dense fallback at this
+    size produces a measurably different f32 rounding pattern)."""
+    g, vo, vr = _interleaved_merged_graph(n_own=500, n_foreign=12,
+                                          cap_v=1024, cap_e=2048)
+    order = CH.chain_order(vo, vr, g.vmask)
+    assert bool(CH.chainable(g, loop_cap=64, order=order))
+    out_auto = gn.optimize_auto(g, iterations=2, loop_cap=64, order=order)
+    out_chain = CH.optimize_chain(g, iterations=2, loop_cap=64, order=order)
+    np.testing.assert_array_equal(np.asarray(out_auto.poses),
+                                  np.asarray(out_chain.poses))
+
+
+def test_real_protocol_merged_graph_chain_parity():
+    """The actual exchange protocol's merged graph (MultiRobotSim, real
+    combo/closure/star messages) takes the permuted fast path and
+    matches the dense solver."""
+    from cg_mrslam_tpu.config import Config, MatcherConfig, MRConfig
+    from cg_mrslam_tpu.mr.sim import MultiRobotSim
+    from cg_mrslam_tpu.sim import world as W
+
+    cfg = Config(
+        mr=MRConfig(n_robots=2, sim_comm_range=100.0),
+        close_matcher=MatcherConfig(extent=16.0, resolution=0.05,
+                                    kernel_radius=0.2),
+        lc_matcher=MatcherConfig(extent=24.0, resolution=0.1,
+                                 kernel_radius=0.5),
+        max_vertices=128, max_edges=512, max_beams=128)
+    sim = MultiRobotSim(cfg, W.hospital_world(16.0, 10.0, seed=0),
+                        beams=128, seed=0, n_loops=1)
+    sim.run(max_ticks=260)
+    st = sim.states[0].slam
+    g = st.graph
+    n_foreign = int(jnp.sum(g.vmask & (st.v_owner != st.my_id)))
+    assert n_foreign > 0, "exchange produced no foreign vertices"
+
+    order = CH.chain_order(st.v_owner, st.v_remote, g.vmask)
+    assert bool(CH.chainable(g, loop_cap=96, order=order))
+    dense = gn.optimize(g, iterations=5)
+    fast = CH.optimize_chain(g, iterations=5, loop_cap=96, order=order)
+    cd, cf = float(chi2(dense)), float(chi2(fast))
+    assert np.isfinite(cf)
+    assert abs(cf - cd) <= 0.01 * max(cd, 1e-3), (cd, cf)

@@ -52,9 +52,17 @@ def _loop_graph(n=50, closures=5, seed=0, cap_v=64, cap_e=128):
 
 
 def test_chainable_detection():
+    """``chainable`` = "fast path exact vs dense here": loop-cap
+    overflow disqualifies; a vertex held only by a BEYOND-cap loop edge
+    disqualifies (dense would solve it, the truncated system pins it);
+    a fully isolated vertex does NOT (both solvers pin it)."""
     g = _loop_graph()
     assert bool(CH.chainable(g))
-    # isolate a free vertex: kill its chain edges
+    assert bool(CH.chainable(g, loop_cap=16))
+    # overflow: more loop edges than the cap
+    assert not bool(CH.chainable(g, loop_cap=1))
+
+    # kill vertex 10's chain edges
     kill = np.zeros(g.e_ij.shape[0], bool)
     e_ij = np.asarray(g.e_ij)
     em = np.asarray(g.emask)
@@ -63,7 +71,37 @@ def test_chainable_detection():
                 abs(e_ij[k, 1] - e_ij[k, 0]) == 1:
             kill[k] = True
     g2 = G.remove_edges(g, jnp.asarray(kill))
-    assert not bool(CH.chainable(g2))
+    touches_10 = em & ~kill & ((e_ij[:, 0] == 10) | (e_ij[:, 1] == 10))
+    if not touches_10.any():
+        # isolated: pinned by both solvers -> still chainable, and the
+        # fast path must MATCH dense on the remaining graph
+        assert bool(CH.chainable(g2, loop_cap=16))
+        dx_d = gn.solve_normal_equations(gn.build_normal_equations(g2))
+        dx_c, _ = CH.chain_delta(g2, loop_cap=16)
+        np.testing.assert_allclose(np.asarray(dx_c).reshape(-1),
+                                   np.asarray(dx_d), rtol=5e-3, atol=5e-4)
+
+
+def test_chainable_beyond_cap_coverage():
+    """A vertex constrained ONLY by loop edges beyond the cap makes the
+    truncated system pin what dense would solve -> not chainable."""
+    g = _loop_graph(closures=0)
+    # break v25 out of the chain, re-attach it with one loop edge to v5
+    kill = np.zeros(g.e_ij.shape[0], bool)
+    e_ij = np.asarray(g.e_ij)
+    em = np.asarray(g.emask)
+    for k in range(len(kill)):
+        if em[k] and 25 in (e_ij[k, 0], e_ij[k, 1]) and \
+                abs(e_ij[k, 1] - e_ij[k, 0]) == 1:
+            kill[k] = True
+    g2 = G.remove_edges(g, jnp.asarray(kill))
+    info = jnp.asarray([100.0, 0, 0, 100.0, 0, 1000.0], jnp.float32)
+    # two earlier loop edges fill a cap of 2; v25's edge is the third
+    g2 = G.add_edge(g2, 2, 8, jnp.zeros(3, jnp.float32), info)
+    g2 = G.add_edge(g2, 12, 18, jnp.zeros(3, jnp.float32), info)
+    g2 = G.add_edge(g2, 5, 25, jnp.zeros(3, jnp.float32), info)
+    assert bool(CH.chainable(g2, loop_cap=3))     # all loops fit: exact
+    assert not bool(CH.chainable(g2, loop_cap=2))  # v25 only beyond cap
 
 
 def test_chain_delta_matches_dense():
