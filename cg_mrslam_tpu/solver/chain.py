@@ -165,8 +165,14 @@ class _Tridiag(NamedTuple):
     free: jax.Array   # [N] bool
 
 
-def _assemble(g: PoseGraph, edge_mask, loop_cap: int):
-    """One linearization pass → (tridiag chain part, loop factors, b)."""
+def _assemble(g: PoseGraph, edge_mask, loop_cap: int, damp: float = 1e-3):
+    """One linearization pass → (tridiag chain part, loop factors, b).
+
+    ``damp`` scales the preconditioner's λ (λ = damp·mean-diag): smaller
+    → better-conditioned preconditioned system → fewer CG iterations,
+    at the cost of a floppier f32 CR factorization. 1e-3 is the safe
+    default; 1e-4 measured stable and ~2× fewer iterations on the
+    hospital workload (see bench.py)."""
     n = g.poses.shape[0]
     is_chain, is_loop = chain_masks(g, edge_mask)
     e, Ji, Jj = linearize(g.poses, g.e_ij, g.e_z)
@@ -226,7 +232,7 @@ def _assemble(g: PoseGraph, edge_mask, loop_cap: int):
     eye = jnp.eye(3, dtype=g.poses.dtype)
     diag_scale = jnp.sum(D * eye) / jnp.maximum(
         3.0 * jnp.sum(free.astype(D.dtype)), 1.0)
-    lam = 1e-3 * diag_scale + 1e-6
+    lam = damp * diag_scale + 1e-6
     D_true = jnp.where(free[:, None, None], D, eye)
     D = jnp.where(free[:, None, None], D + lam * eye, eye)
     # decouple across pinned vertices
@@ -429,7 +435,8 @@ def _cr_solve(D: jax.Array, L: jax.Array, rhs: jax.Array,
 @partial(jax.jit, static_argnames=("loop_cap", "cg_iters"))
 def chain_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
                 loop_cap: int = 64, cg_tol: float = 1e-6,
-                cg_iters: int = 48, order: jax.Array | None = None):
+                cg_iters: int = 48, order: jax.Array | None = None,
+                damp: float = 1e-3):
     """One GN update dx [N,3]: CG on the true H, preconditioned by the
     λ-damped chain cyclic-reduction + Woodbury inverse.
 
@@ -449,7 +456,8 @@ def chain_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
     with jax.default_matmul_precision("float32"):
         if order is None:
             return _chain_delta_impl(g, edge_mask, loop_cap,
-                                     cg_tol=cg_tol, cg_iters=cg_iters)
+                                     cg_tol=cg_tol, cg_iters=cg_iters,
+                                     damp=damp)
         from cg_mrslam_tpu.core.graph import (
             inverse_permutation, permute_vertices,
         )
@@ -457,20 +465,37 @@ def chain_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
         inv = inverse_permutation(order)
         dx, dropped = _chain_delta_impl(
             permute_vertices(g, order), edge_mask, loop_cap,
-            cg_tol=cg_tol, cg_iters=cg_iters)
+            cg_tol=cg_tol, cg_iters=cg_iters, damp=damp)
         return dx[inv], dropped
 
 
-def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
-                      cg_tol: float = 1e-6, cg_iters: int = 48):
-    n = g.poses.shape[0]
-    td, b, (li, lj, lJi, lJj, lom), dropped = _assemble(
-        g, edge_mask, loop_cap)
+class _PrecondState(NamedTuple):
+    """Frozen chain+Woodbury preconditioner: CR factorization of the
+    λ-damped chain + the Woodbury pieces, all from ONE linearization.
+    A preconditioner does not have to track the GN relinearizations —
+    any fixed SPD M only changes CG's iteration count, never its fixed
+    point — so ``optimize_chain`` builds this once and reuses it for all
+    GN iterations, cutting the dominant per-iteration fixed cost
+    (measured 63% of the round-2 solve time)."""
+    fact_levels: tuple    # _cr_factor levels (tuple-ized for pytree use)
+    fact_root: jax.Array
+    fact_meta: tuple      # (n, m, n3, group) static ints
+    HinvU: jax.Array      # [N, 3, 3M]
+    s_inv: jax.Array      # [3M, 3M]
+    li: jax.Array
+    lj: jax.Array
+    lJi: jax.Array        # FROZEN loop Jacobians (preconditioner only)
+    lJj: jax.Array
+
+
+def _precond_setup(td: _Tridiag, loops, n: int) -> _PrecondState:
+    """Factor the damped chain and build the Woodbury correction."""
+    (li, lj, lJi, lJj, lom) = loops
     m = li.shape[0]
 
     # U columns: U[3i.., 3m..] = Ji_mᵀ  → tensor [N, 3, 3M]
-    Oi = jax.nn.one_hot(li, n, dtype=g.poses.dtype)        # [M,N]
-    Oj = jax.nn.one_hot(lj, n, dtype=g.poses.dtype)
+    Oi = jax.nn.one_hot(li, n, dtype=td.D.dtype)           # [M,N]
+    Oj = jax.nn.one_hot(lj, n, dtype=td.D.dtype)
     U = (_es("mn,mac->ncma", Oi, lJi)
          + _es("mn,mac->ncma", Oj, lJj)).reshape(n, 3, 3 * m)
 
@@ -496,18 +521,53 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
 
     s_inv = spd_inverse(S)
     s_inv = 0.5 * (s_inv + s_inv.T)     # preconditioner must be symmetric
+    return _PrecondState(
+        fact_levels=tuple(fact["levels"]), fact_root=fact["root_inv"],
+        fact_meta=(fact["n"], fact["m"], fact["n3"], fact["group"]),
+        HinvU=HinvU, s_inv=s_inv, li=li, lj=lj, lJi=lJi, lJj=lJj)
 
-    def ut(x):
-        """Uᵀ x → [3M]."""
-        return (_es("mac,mc->ma", lJi, x[li])
-                + _es("mac,mc->ma", lJj, x[lj])).reshape(3 * m)
+
+def _pst_fact(pst: _PrecondState) -> dict:
+    n, m, n3, group = pst.fact_meta
+    return {"levels": list(pst.fact_levels), "root_inv": pst.fact_root,
+            "n": n, "m": m, "n3": n3, "group": group}
+
+
+def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
+                      cg_tol: float = 1e-6, cg_iters: int = 48,
+                      damp: float = 1e-3,
+                      pst: _PrecondState | None = None,
+                      cg_iter_bound: jax.Array | None = None):
+    """One GN update via preconditioned CG on the CURRENT true H.
+
+    ``pst`` (optional) reuses a frozen preconditioner from an earlier
+    linearization; ``cg_iter_bound`` (optional traced int32) overrides
+    the static ``cg_iters`` cap — used by ``optimize_chain``'s
+    descending per-GN-iteration CG budget schedule."""
+    n = g.poses.shape[0]
+    td, b, (li, lj, lJi, lJj, lom), dropped = _assemble(
+        g, edge_mask, loop_cap, damp=damp)
+    m = li.shape[0]
+    if pst is None:
+        pst = _precond_setup(td, (li, lj, lJi, lJj, lom), n)
+    fact = _pst_fact(pst)
+
+    def ut_frozen(x):
+        """Uᵀ x with the PRECONDITIONER's frozen Jacobians → [3M]."""
+        return (_es("mac,mc->ma", pst.lJi, x[pst.li])
+                + _es("mac,mc->ma", pst.lJj, x[pst.lj])).reshape(3 * m)
 
     def precond(r):
         """M r = (Hc+λI + UΩUᵀ)⁻¹ r via Woodbury, reusing the CR
         factorization, Hc_d⁻¹U columns, and S⁻¹ (symmetric, SPD)."""
         z = _cr_apply(fact, r[..., None])[..., 0]
-        y = _mm(s_inv, ut(z))
-        return z - _es("ncq,q->nc", HinvU, y)
+        y = _mm(pst.s_inv, ut_frozen(z))
+        return z - _es("ncq,q->nc", pst.HinvU, y)
+
+    def ut(x):
+        """Uᵀ x with the CURRENT Jacobians (true-H matvec) → [3M]."""
+        return (_es("mac,mc->ma", lJi, x[li])
+                + _es("mac,mc->ma", lJj, x[lj])).reshape(3 * m)
 
     def h_matvec(x):
         """TRUE H x = (Hc + U Ω Uᵀ) x — undamped diagonal blocks."""
@@ -541,10 +601,13 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
     z = precond(r)
     bn = jnp.maximum(jnp.sum(bb * bb), 1e-30)
     tol2 = jnp.asarray(cg_tol * cg_tol, bb.dtype)   # on ‖r‖/‖b‖
+    bound = (jnp.int32(cg_iters) if cg_iter_bound is None
+             else jnp.minimum(jnp.int32(cg_iters),
+                              cg_iter_bound.astype(jnp.int32)))
 
     def cond(s):
         k, _, rr, _, _ = s
-        return (k < cg_iters) & (jnp.sum(rr * rr) / bn > tol2)
+        return (k < bound) & (jnp.sum(rr * rr) / bn > tol2)
 
     def body(s):
         k, x, rr, p, rz = s
@@ -568,18 +631,39 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
 
 
 @partial(jax.jit, static_argnames=("iterations", "loop_cap", "cg_iters",
-                                   "return_dropped"))
+                                   "return_dropped", "damp",
+                                   "cg_schedule", "freeze_precond"))
 def optimize_chain(g: PoseGraph, iterations: int = 5,
                    edge_mask: jax.Array | None = None,
                    loop_cap: int = 64, cg_tol: float = 1e-6,
                    cg_iters: int = 48, order: jax.Array | None = None,
-                   return_dropped: bool = False):
+                   return_dropped: bool = False, damp: float = 1e-3,
+                   cg_schedule: tuple | None = None,
+                   freeze_precond: bool = False):
     """``optimize(n)`` on the chain+Woodbury path (g2o ``optimize``
     semantics: n GN iterations, additive oplus update). ``order``
     (optional) solves under a slot permutation (:func:`chain_order`);
     the result is in original slot order. With ``return_dropped`` the
     max over-iterations loop-edge overflow count rides along so batched
-    callers (bench, sol) can assert the truncation never fired."""
+    callers (bench, sol) can assert the truncation never fired.
+
+    Performance levers (round-3, all measured on chip):
+
+    * ``cg_schedule`` caps CG per GN iteration with a descending budget
+      (e.g. ``(48, 24, 16, 12, 12)``): the first iteration, far from
+      the optimum, does the real contraction; later ones polish an
+      almost-converged iterate and exit on tolerance anyway.
+    * ``freeze_precond=True`` builds the CR factorization + Woodbury
+      correction once and reuses it — in exact arithmetic a stale SPD M
+      only costs iterations, and on CPU-f32 it converges (measured
+      chi2 → 1e-3 at N=1024), but on the TPU chip the same program
+      DIVERGES at hospital scale (measured: chi2 6.2e4 → 8.5e7 at
+      N=1024 batch 512; every frozen schedule variant failed) — the
+      chip's matmul rounding under a stale M on the κ~N³ chain is the
+      differentiator, the same failure class as the round-2 undamped
+      factor-and-correct NaN. Default OFF; kept as an explicit lever
+      for small-graph callers (the setup is 63% of the per-iteration
+      cost) with the caveat measured above."""
     if order is not None:
         from cg_mrslam_tpu.core.graph import (
             inverse_permutation, permute_vertices,
@@ -588,19 +672,36 @@ def optimize_chain(g: PoseGraph, iterations: int = 5,
         inv = inverse_permutation(order)
         gp = optimize_chain(permute_vertices(g, order), iterations,
                             edge_mask, loop_cap, cg_tol, cg_iters,
-                            return_dropped=True)
+                            return_dropped=True, damp=damp,
+                            cg_schedule=cg_schedule,
+                            freeze_precond=freeze_precond)
         gp, dropped = gp
         out = dataclasses.replace(g, poses=gp.poses[inv])
         return (out, dropped) if return_dropped else out
 
-    def body(carry, _):
-        gg, dmax = carry
-        dx, dropped = _chain_delta_impl(gg, edge_mask, loop_cap,
-                                        cg_tol=cg_tol, cg_iters=cg_iters)
-        gg = dataclasses.replace(gg, poses=se2.oplus(gg.poses, dx))
-        return (gg, jnp.maximum(dmax, dropped)), None
+    if cg_schedule is None:
+        sched = jnp.full((iterations,), cg_iters, jnp.int32)
+    else:
+        assert len(cg_schedule) == iterations, \
+            "cg_schedule needs one CG budget per GN iteration"
+        sched = jnp.asarray(cg_schedule, jnp.int32)
 
     with jax.default_matmul_precision("float32"):
-        (g, dmax), _ = jax.lax.scan(body, (g, jnp.int32(0)), None,
-                                    length=iterations)
+        if freeze_precond:
+            td0, _, loops0, _ = _assemble(g, edge_mask, loop_cap,
+                                          damp=damp)
+            pst = _precond_setup(td0, loops0, g.poses.shape[0])
+        else:
+            pst = None
+
+        def body(carry, ci):
+            gg, dmax = carry
+            dx, dropped = _chain_delta_impl(
+                gg, edge_mask, loop_cap, cg_tol=cg_tol,
+                cg_iters=cg_iters, damp=damp, pst=pst,
+                cg_iter_bound=ci)
+            gg = dataclasses.replace(gg, poses=se2.oplus(gg.poses, dx))
+            return (gg, jnp.maximum(dmax, dropped)), None
+
+        (g, dmax), _ = jax.lax.scan(body, (g, jnp.int32(0)), sched)
     return (g, dmax) if return_dropped else g

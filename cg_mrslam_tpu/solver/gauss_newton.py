@@ -177,6 +177,25 @@ DENSE_MAX = 512
 PCG_MIN = 4096
 
 
+def auto_backend(g: PoseGraph, edge_mask: jax.Array | None = None,
+                 loop_cap: int = 64,
+                 order: jax.Array | None = None) -> jax.Array:
+    """Which backend :func:`optimize_auto` takes on this graph —
+    ``0`` dense, ``1`` chain+Woodbury, ``2`` PCG (int32, traceable).
+    Exposed so callers (``pipeline.slam.keyframe_step`` → ``StepInfo``)
+    can report the selection instead of asking tests to infer it from
+    f32 rounding patterns."""
+    n = g.poses.shape[-2]
+    if n > PCG_MIN:
+        return jnp.int32(2)
+    if n <= DENSE_MAX:
+        return jnp.int32(0)
+    from cg_mrslam_tpu.solver import chain as CH
+
+    return CH.chainable(g, edge_mask, loop_cap=loop_cap,
+                        order=order).astype(jnp.int32)
+
+
 def optimize_auto(g: PoseGraph, iterations: int = 5,
                   edge_mask: jax.Array | None = None,
                   loop_cap: int = 64,
