@@ -25,8 +25,39 @@ import sys
 import numpy as np
 
 
+def _checkpoint_every_keyframe(slam_state, cfg, name: str,
+                               robot_id: int = 0):
+    """Per-keyframe ``.g2o`` save — the reference's crash-tolerance story
+    (``cg_mrslam.cpp:228-230`` rewrites the graph file after every
+    keyframe). The device→host fetch happens here (unavoidable — it IS
+    the checkpoint), but file IO runs on a background thread with at
+    most one write in flight, so the keyframe loop never blocks on disk.
+    """
+    import threading
+
+    from cg_mrslam_tpu.io import g2o
+
+    vo = np.asarray(slam_state.v_owner)
+    vr = np.asarray(slam_state.v_remote)
+    ids = (vr + vo * cfg.slam.base_id).astype(np.int64)
+    path = f"robot-{robot_id}-{name}.g2o"
+    prev = getattr(_checkpoint_every_keyframe, "_thread", None)
+    if prev is not None:
+        prev.join()
+    t = threading.Thread(
+        target=g2o.save, args=(path, slam_state.graph),
+        kwargs=dict(ids=ids, scans=slam_state.scans), daemon=True)
+    _checkpoint_every_keyframe._thread = t
+    t.start()
+
+
 def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("-o", default="out", help="output name stem")
+    p.add_argument("--save-every-keyframe", action="store_true",
+                   help="rewrite the .g2o checkpoint after every "
+                        "keyframe (reference cadence, cg_mrslam.cpp:"
+                        "228-230); off by default — the end-of-run "
+                        "save is the cheap path")
     p.add_argument("--resolution", type=float, default=0.025,
                    help="close-matcher grid resolution [m]")
     p.add_argument("--maxScore", type=float, default=0.15)
@@ -202,6 +233,8 @@ def cmd_srslam(argv):
             print(f"keyframe {int(slam.state.graph.n_vertices)-1}: "
                   f"sm={int(i.sm_accepted)} closures=+{int(i.closures_added)} "
                   f"chi2={float(i.chi2):.2f}")
+            if a.save_every_keyframe:
+                _checkpoint_every_keyframe(slam.state, cfg, a.o)
         if int(slam.state.graph.n_vertices) >= cfg.max_vertices - 2:
             print("vertex capacity reached; stopping")
             break
@@ -262,6 +295,9 @@ def _run_udp_node(a):
             print(f"t={t} keyframe {int(g.n_vertices) - 1} "
                   f"sent={node.stats['sent']} "
                   f"recv={node.stats['received']}")
+            if a.save_every_keyframe:
+                _checkpoint_every_keyframe(node.state.slam, cfg, a.o,
+                                           robot_id=r)
         if int(node.state.slam.graph.n_vertices) >= cfg.max_vertices - 4:
             print("vertex capacity reached; stopping")
             break

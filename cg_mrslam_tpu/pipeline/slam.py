@@ -40,10 +40,15 @@ from cg_mrslam_tpu.pipeline import graph_dist as GD
 from cg_mrslam_tpu.solver import gauss_newton as gn
 from cg_mrslam_tpu.utils import se2
 
-# Per-region loop-closure hypotheses: the reference keeps the best match
-# of the normal regions AND the best of the π-rotated twins as separate
-# results (scan_matcher.cpp:258-279), deduped on a coarse lattice.
-LC_HYPOTHESES = 2
+# Per-region loop-closure hypotheses: the reference keeps ALL matches
+# above threshold as separate results, deduped on a coarse lattice
+# (scan_matcher.cpp:246-279, chargrid.cpp:36-46). Static shapes need a
+# cap: top-TOPK_PER_DIR of the normal search and of the π-rotated twin
+# (reverse traversals, scan_matcher.cpp:222-241), deduped jointly — a
+# region with two genuine same-direction candidate poses contributes
+# both, not just its best.
+TOPK_PER_DIR = 2
+LC_HYPOTHESES = 2 * TOPK_PER_DIR
 
 
 @jax.tree_util.register_dataclass
@@ -113,6 +118,8 @@ class StepInfo(NamedTuple):
     regions_dropped: jax.Array  # [] int32 — components beyond max_regions
     #                             (the one capacity that can silently bind;
     #                             surfaced per SURVEY's no-silent-caps rule)
+    solver_backend: jax.Array  # [] int32 — optimize_auto's pick for the
+    #                            final optimize (0 dense, 1 chain, 2 PCG)
 
 
 def _diag_info(d) -> jax.Array:
@@ -198,6 +205,31 @@ class RegionMatch(NamedTuple):
     loop_keep: jax.Array   # [K,H] bool — survives the dedup lattice
 
 
+def _lattice_topk(poses: jax.Array, scores: jax.Array, q: jax.Array,
+                  k: int):
+    """Per-merge-cell non-max suppression + top-k: from ``poses [R,3]``
+    / ``scores [R]`` in best-first order, keep only the best entry of
+    each (dx, dy, dθ) lattice cell (the reference's pruned results map,
+    ``chargrid.cpp:36-46``) and return the first ``k`` distinct ones.
+    Without this, a flat-bottomed score basin fills the whole top-k with
+    neighbors of one minimum and a genuine second candidate pose never
+    surfaces. Returns ``(poses [k,3], scores [k], valid [k])``."""
+    r = poses.shape[0]
+    norm = poses.at[:, 2].set(
+        (poses[:, 2] + jnp.pi) % (2 * jnp.pi) - jnp.pi)
+    cells = jnp.floor(norm / q + 0.5)                       # [R,3]
+    same = jnp.all(cells[:, None, :] == cells[None, :, :], -1)
+    earlier = jnp.tril(jnp.ones((r, r), bool), -1)
+    dup = jnp.any(same & earlier, axis=1)                   # not cell-best
+    rank = jnp.cumsum(~dup) - 1                             # distinct rank
+    slot = jnp.where(~dup & (rank < k), rank, k)            # k = trash
+    out_p = jnp.zeros((k + 1, 3), poses.dtype).at[slot].set(poses)[:k]
+    out_s = jnp.full((k + 1,), jnp.inf,
+                     scores.dtype).at[slot].set(scores)[:k]
+    out_v = jnp.zeros((k + 1,), bool).at[slot].set(True)[:k]
+    return out_p, out_s, out_v
+
+
 def _match_regions(state: SlamState, est, cand, labels, regions,
                    cur_pts, cur_valid, cfg: Config) -> RegionMatch:
     """Per-component matching (reference ``findConstraints``,
@@ -246,33 +278,44 @@ def _match_regions(state: SlamState, est, cand, labels, regions,
                          x_span=w.close_dx, y_span=w.close_dy, topk=1,
                          prior_weight=w.close_prior_weight)
 
+        q = jnp.asarray([w.lc_merge_dx, w.lc_merge_dy, w.lc_merge_dth],
+                        jnp.float32)
+
         def lc(base):
+            # raw top-16 volume cells, then per-merge-cell NMS → the
+            # best TOPK_PER_DIR genuinely distinct candidate poses
             r = grid_search(grid, center, mcfg.resolution, cur_pts,
                             cvalid, base, th_span=w.lc_dth,
                             th_res=w.lc_th_res, x_span=w.lc_dx,
-                            y_span=w.lc_dy, topk=1)
-            return r.poses[0], r.scores[0]
+                            y_span=w.lc_dy, topk=16)
+            return _lattice_topk(r.poses, r.scores, q, TOPK_PER_DIR)
 
         base = g.poses[rep]
         twin = base.at[2].add(jnp.pi)
-        poses2, scores2 = jax.vmap(lc)(jnp.stack([base, twin]))
-        # dedup on the merge lattice: when both land in the same cell the
-        # worse one is dropped (the reference's pruned results map; θ is
-        # normalized first like scan_matcher.cpp:260)
-        q = jnp.asarray([w.lc_merge_dx, w.lc_merge_dy, w.lc_merge_dth],
-                        poses2.dtype)
-        norm = poses2.at[:, 2].set(
-            (poses2[:, 2] + jnp.pi) % (2 * jnp.pi) - jnp.pi)
-        c0 = jnp.floor(norm[0] / q + 0.5)
-        c1 = jnp.floor(norm[1] / q + 0.5)
-        same = jnp.all(c0 == c1)
-        better0 = scores2[0] <= scores2[1]
-        keep = jnp.stack([~same | better0, ~same | ~better0])
+        poses2, scores2, valid2 = jax.vmap(lc)(jnp.stack([base, twin]))
+        poses_h = poses2.reshape(-1, 3)          # [H,3]
+        scores_h = scores2.reshape(-1)           # [H]
+        valid_h = valid2.reshape(-1)             # [H]
+        # joint dedup across directions on the same lattice: when a
+        # normal-direction hypothesis and a twin land in one cell, keep
+        # the better (ties to the lower index — normal before twin,
+        # rank order within a direction; scan_matcher.cpp:246-279)
+        norm = poses_h.at[:, 2].set(
+            (poses_h[:, 2] + jnp.pi) % (2 * jnp.pi) - jnp.pi)
+        cells = jnp.floor(norm / q + 0.5)        # [H,3]
+        same = (jnp.all(cells[:, None, :] == cells[None, :, :], -1)
+                & valid_h[None, :] & valid_h[:, None])
+        hidx = jnp.arange(scores_h.shape[0])
+        beats = (scores_h[None, :] < scores_h[:, None]) | (
+            (scores_h[None, :] == scores_h[:, None])
+            & (hidx[None, :] < hidx[:, None]))
+        keep = valid_h & ~jnp.any(same & beats, axis=1)
+        scores_rep = jnp.where(valid_h, scores_h, far)
         return RegionMatch(
             near_pose=rn.poses[0],
             near_score=jnp.where(rvalid, rn.scores[0], far),
-            loop_pose=poses2,
-            loop_score=jnp.where(rvalid, scores2, far),
+            loop_pose=poses_h,
+            loop_score=jnp.where(rvalid, scores_rep, far),
             loop_keep=keep & rvalid,
         )
 
@@ -291,8 +334,19 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
     g = state.graph
     cur = g.n_vertices - 1
 
+    # scale-appropriate solver: dense in small buckets; in the chain band
+    # (capacity > DENSE_MAX) solve under the (owner, keyframe) slot
+    # permutation that makes real merged graphs block-tridiagonal —
+    # O(N log N) cyclic reduction instead of dense O(N³) per keyframe
+    if g.poses.shape[-2] > gn.DENSE_MAX:
+        from cg_mrslam_tpu.solver.chain import chain_order
+
+        order = chain_order(state.v_owner, state.v_remote, g.vmask)
+    else:
+        order = None
+
     # --- findConstraints (graph_slam.cpp:388-485) ---
-    g = gn.optimize(g, cfg.slam.pre_optimize_iterations)
+    g = gn.optimize_auto(g, cfg.slam.pre_optimize_iterations, order=order)
 
     dist = GD.bounded_distances(g, cur)
     sets = GD.candidate_sets(
@@ -364,7 +418,7 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
     buf = buf2
 
     # --- optimize(5) (graph_slam.cpp:561-574) ---
-    g = gn.optimize(g, cfg.slam.gn_iterations)
+    g = gn.optimize_auto(g, cfg.slam.gn_iterations, order=order)
 
     from cg_mrslam_tpu.core.linearize import chi2
     state = dataclasses.replace(state, graph=g, buffer=buf)
@@ -373,7 +427,8 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
         closures_added=jnp.sum(accept.astype(jnp.int32))
         + jnp.sum(direct.astype(jnp.int32)),
         chi2=chi2(g), n_edges=g.n_edges,
-        regions_dropped=regions_dropped)
+        regions_dropped=regions_dropped,
+        solver_backend=gn.auto_backend(g, order=order))
     return state, info_out
 
 
@@ -460,8 +515,8 @@ def _merge_state(full: SlamState, part: SlamState) -> SlamState:
         v_remote=full.v_remote.at[:nb].set(part.v_remote))
 
 
-# width of the packed StepInfo vector (pose 3 + 5 scalars)
-INFO_WIDTH = 8
+# width of the packed StepInfo vector (pose 3 + 6 scalars)
+INFO_WIDTH = 9
 
 
 def _pack_info(i: StepInfo) -> jax.Array:
@@ -472,14 +527,16 @@ def _pack_info(i: StepInfo) -> jax.Array:
         i.closures_added.astype(jnp.float32),
         i.chi2.astype(jnp.float32),
         i.n_edges.astype(jnp.float32),
-        i.regions_dropped.astype(jnp.float32)])
+        i.regions_dropped.astype(jnp.float32),
+        i.solver_backend.astype(jnp.float32)])
     return jnp.concatenate([i.pose.astype(jnp.float32), tail])
 
 
 def _unpack_info(v: np.ndarray) -> StepInfo:
     return StepInfo(pose=v[:3], sm_accepted=bool(v[3]),
                     closures_added=int(v[4]), chi2=float(v[5]),
-                    n_edges=int(v[6]), regions_dropped=int(v[7]))
+                    n_edges=int(v[6]), regions_dropped=int(v[7]),
+                    solver_backend=int(v[8]))
 
 
 @partial(jax.jit, static_argnames=("cfg", "nb", "eb"))
@@ -565,6 +622,89 @@ def state_from_g2o(cfg: Config, path: str, my_id: int = 0) -> SlamState:
         v_remote=jnp.asarray(v_remote, jnp.int32))
 
 
+class BucketRunner:
+    """Host-side bucketed stepping shared by every deployment driver
+    (:class:`SingleRobotSlam` and ``mr.node.RobotNode``): tracks the live
+    counts, dispatches :func:`keyframe_step_bucketed`, and prewarms
+    successor buckets in background compile threads so bucket crossings
+    never stall a keyframe. Also the step's compile-event source: the
+    latency bench keys its compile exclusion on :attr:`compile_events`
+    (actual first-touch dispatches) instead of a magnitude heuristic."""
+
+    def __init__(self, cfg: Config, n_live: int = 1, e_live: int = 0):
+        self.cfg = cfg
+        self.n_live, self.e_live = n_live, e_live
+        self._warmed: set = set()
+        self._compiled: dict = {}
+        self._inflight: dict = {}
+        self._seen: set = set()
+        self.compile_events: list = []  # keyframe indices that compiled
+        self._kf_index = 0
+
+    def step(self, state: SlamState, est, ranges):
+        key = _bucket_pair(state, self.n_live, self.e_live)
+        if key not in self._compiled and key in self._inflight:
+            # a prewarm for exactly this bucket is in flight — waiting out
+            # its remainder beats recompiling the same program in parallel
+            self._inflight.pop(key).join()
+        if key not in self._compiled and key not in self._seen:
+            # this dispatch traces+compiles (first touch of the bucket)
+            self.compile_events.append(self._kf_index)
+        self._seen.add(key)
+        state, info = keyframe_step_bucketed(
+            state, est, ranges, self.cfg, self.n_live, self.e_live,
+            compiled=self._compiled)
+        self._kf_index += 1
+        self.n_live += 1
+        self.e_live = info.n_edges
+        self._prewarm(state)
+        return state, info
+
+    def _prewarm(self, state: SlamState) -> None:
+        """Compile the NEXT bucket's step in a background thread before
+        the graph grows into it, so bucket crossings never stall a
+        keyframe (the first crossing otherwise costs a full trace+XLA
+        compile, measured ~18 s through the remote tunnel). Lowering uses
+        abstract shapes only; the AOT executable lands in
+        ``self._compiled`` and the crossing keyframe calls it directly —
+        no re-trace, no compile."""
+        import threading
+
+        cap_n, cap_e = state.graph.capacity
+        nb, eb = _bucket_pair(state, self.n_live, self.e_live)
+        # compiles take ~16 s through the remote tunnel while buckets are
+        # hundreds of keyframes apart — so the moment a bucket pair is in
+        # use, start compiling BOTH of its successors (vertex-count
+        # doubling and edge-count doubling)
+        succ = {(_bucket_for(nb + 1, cap_n),
+                 _bucket_for(max(eb, 4 * _bucket_for(nb + 1, cap_n)),
+                             cap_e)),
+                (nb, _bucket_for(eb + 1, cap_e))}
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+        est = jax.ShapeDtypeStruct((3,), jnp.float32)
+        rng = jax.ShapeDtypeStruct(
+            (state.scans.ranges.shape[1],), jnp.float32)
+
+        for nxt in succ:
+            if nxt == (nb, eb) or nxt in self._warmed:
+                continue
+            self._warmed.add(nxt)
+
+            def work(nxt=nxt):
+                try:
+                    self._compiled[nxt] = _sliced_step.lower(
+                        abstract, est, rng, self.cfg,
+                        nb=nxt[0], eb=nxt[1]).compile()
+                except Exception:   # prewarm is best-effort
+                    pass
+
+            t = threading.Thread(target=work, daemon=True)
+            self._inflight[nxt] = t
+            _PREWARM_THREADS.append(t)
+            t.start()
+
+
 class SingleRobotSlam:
     """Host-side driver: dead-reckoning + keyframe gate around the jitted
     step (the reference's ``srslam.cpp`` main loop)."""
@@ -585,10 +725,7 @@ class SingleRobotSlam:
         self._kf_est = self._est.copy()
         self.infos: list = []
         self.metrics = Recorder()
-        self._n_live, self._e_live = 1, 0  # host mirror for bucketing
-        self._warmed: set = set()
-        self._compiled: dict = {}
-        self._inflight: dict = {}
+        self.runner = BucketRunner(cfg)
 
     @classmethod
     def resume(cls, cfg: Config, path: str, my_id: int = 0
@@ -605,11 +742,9 @@ class SingleRobotSlam:
         self._kf_est = last.copy()
         self.infos = []
         self.metrics = Recorder()
-        self._n_live = int(self.state.graph.n_vertices)
-        self._e_live = int(self.state.graph.n_edges)
-        self._warmed = set()
-        self._compiled = {}
-        self._inflight = {}
+        self.runner = BucketRunner(cfg,
+                                   n_live=int(self.state.graph.n_vertices),
+                                   e_live=int(self.state.graph.n_edges))
         return self
 
     def observe(self, rel_odom, ranges) -> bool:
@@ -627,19 +762,10 @@ class SingleRobotSlam:
         if (np.hypot(*dx) <= self.cfg.slam.linear_update
                 and abs(dth) <= self.cfg.slam.angular_update):
             return False
-        key = _bucket_pair(self.state, self._n_live, self._e_live)
-        if key not in self._compiled and key in self._inflight:
-            # a prewarm for exactly this bucket is in flight — waiting out
-            # its remainder beats recompiling the same program in parallel
-            self._inflight.pop(key).join()
         with self.metrics.timer("keyframe_latency"):
-            self.state, info = keyframe_step_bucketed(
+            self.state, info = self.runner.step(
                 self.state, np.asarray(self._est, np.float32),
-                np.asarray(ranges, np.float32), self.cfg,
-                self._n_live, self._e_live, compiled=self._compiled)
-        self._n_live += 1
-        self._e_live = info.n_edges
-        self._prewarm_next_bucket()
+                np.asarray(ranges, np.float32))
         self.infos.append(info)
         self.metrics.log("chi2", info.chi2)
         self.metrics.log("closures_added", info.closures_added)
@@ -651,49 +777,14 @@ class SingleRobotSlam:
         self._kf_est = self._est.copy()
         return True
 
-    def _prewarm_next_bucket(self) -> None:
-        """Compile the NEXT bucket's step in a background thread before
-        the graph grows into it, so bucket crossings never stall a
-        keyframe (the first crossing otherwise costs a full trace+XLA
-        compile, measured ~18 s through the remote tunnel). Lowering uses
-        abstract shapes only; the AOT executable lands in
-        ``self._compiled`` and the crossing keyframe calls it directly —
-        no re-trace, no compile."""
-        import threading
+    # host bucketing mirrors (read by tools and tests)
+    @property
+    def _n_live(self) -> int:
+        return self.runner.n_live
 
-        cap_n, cap_e = self.state.graph.capacity
-        nb, eb = _bucket_pair(self.state, self._n_live, self._e_live)
-        # compiles take ~16 s through the remote tunnel while buckets are
-        # hundreds of keyframes apart — so the moment a bucket pair is in
-        # use, start compiling BOTH of its successors (vertex-count
-        # doubling and edge-count doubling)
-        succ = {(_bucket_for(nb + 1, cap_n),
-                 _bucket_for(max(eb, 4 * _bucket_for(nb + 1, cap_n)),
-                             cap_e)),
-                (nb, _bucket_for(eb + 1, cap_e))}
-        abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state)
-        est = jax.ShapeDtypeStruct((3,), jnp.float32)
-        rng = jax.ShapeDtypeStruct(
-            (self.state.scans.ranges.shape[1],), jnp.float32)
-
-        for nxt in succ:
-            if nxt == (nb, eb) or nxt in self._warmed:
-                continue
-            self._warmed.add(nxt)
-
-            def work(nxt=nxt):
-                try:
-                    self._compiled[nxt] = _sliced_step.lower(
-                        abstract, est, rng, self.cfg,
-                        nb=nxt[0], eb=nxt[1]).compile()
-                except Exception:   # prewarm is best-effort
-                    pass
-
-            t = threading.Thread(target=work, daemon=True)
-            self._inflight[nxt] = t
-            _PREWARM_THREADS.append(t)
-            t.start()
+    @property
+    def _e_live(self) -> int:
+        return self.runner.e_live
 
     @property
     def poses(self) -> np.ndarray:

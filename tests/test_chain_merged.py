@@ -22,6 +22,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cg_mrslam_tpu.core import graph as G
 from cg_mrslam_tpu.core.linearize import chi2
@@ -156,8 +157,8 @@ def test_optimize_auto_takes_chain_band_with_order():
     must pick the chain backend on a merged graph — pinned by matching
     the explicit chain solve bit-for-bit (the dense fallback at this
     size produces a measurably different f32 rounding pattern)."""
-    g, vo, vr = _interleaved_merged_graph(n_own=500, n_foreign=12,
-                                          cap_v=1024, cap_e=2048)
+    g, vo, vr = _interleaved_merged_graph(n_own=300, n_foreign=12,
+                                          cap_v=640, cap_e=1280)
     order = CH.chain_order(vo, vr, g.vmask)
     assert bool(CH.chainable(g, loop_cap=64, order=order))
     out_auto = gn.optimize_auto(g, iterations=2, loop_cap=64, order=order)
@@ -166,6 +167,7 @@ def test_optimize_auto_takes_chain_band_with_order():
                                   np.asarray(out_chain.poses))
 
 
+@pytest.mark.slow
 def test_real_protocol_merged_graph_chain_parity():
     """The actual exchange protocol's merged graph (MultiRobotSim, real
     combo/closure/star messages) takes the permuted fast path and
@@ -196,3 +198,45 @@ def test_real_protocol_merged_graph_chain_parity():
     cd, cf = float(chi2(dense)), float(chi2(fast))
     assert np.isfinite(cf)
     assert abs(cf - cd) <= 0.01 * max(cd, 1e-3), (cd, cf)
+
+
+@pytest.mark.slow
+def test_keyframe_step_selects_chain_backend_at_large_capacity():
+    """The LIVE pipeline reports the chain backend in the chain band:
+    a capacity-1024 keyframe_step on a merged-ownership state must pick
+    chain+Woodbury (StepInfo.solver_backend == 1), not dense — round-2
+    verdict item 3 (optimize_auto had zero call sites in the pipeline)."""
+    import jax.numpy as jnp
+
+    from cg_mrslam_tpu.config import Config, MatcherConfig
+    from cg_mrslam_tpu.core import scan as S
+    from cg_mrslam_tpu.pipeline import slam as SL
+
+    cfg = Config(
+        close_matcher=MatcherConfig(extent=8.0, resolution=0.1,
+                                    kernel_radius=0.2),
+        lc_matcher=MatcherConfig(extent=12.0, resolution=0.2,
+                                 kernel_radius=0.5),
+        max_vertices=1024, max_edges=2048, max_beams=64)
+
+    g, vo, vr = _interleaved_merged_graph(n_own=560, n_foreign=12,
+                                          cap_v=1024, cap_e=2048)
+    beams = 64
+    ranges0 = np.full((beams,), 5.0, np.float32)
+    st = SL.init_state(cfg, beams, np.zeros(3, np.float32), ranges0,
+                       fov=2 * np.pi * 0.75, max_range=8.0)
+    scans = st.scans
+    # give the newest own keyframes scans so addDataSM has a reference
+    own_slots = np.where(np.asarray(vo) == 0)[0]
+    live = np.asarray(g.vmask)
+    for s in own_slots[live[own_slots]][-4:]:
+        scans = S.set_scan(scans, int(s), jnp.asarray(ranges0))
+    st = dataclasses.replace(st, graph=g, scans=scans,
+                             v_owner=vo, v_remote=vr)
+
+    est = np.asarray(g.poses[int(own_slots[live[own_slots]][-1])])
+    _, info = SL.keyframe_step(st, jnp.asarray(est, jnp.float32),
+                               jnp.asarray(ranges0), cfg)
+    assert int(info.solver_backend) == 1, (
+        "chain band must take the chain+Woodbury backend on a merged "
+        f"ownership graph, got backend={int(info.solver_backend)}")
