@@ -2,26 +2,35 @@
 p99 keyframe-latency target, on one real chip.
 
 BASELINE.md targets (the reference itself publishes no numbers):
-* >= 1000 concurrent 2-robot hospital-scale graph solves/s — the unit of
-  work is the reference's per-keyframe ``optimize(5)``
-  (``/root/reference/src/slam/graph_slam.cpp:561-574``) on a
-  hospital-scale graph (N=1024 poses: two robots' worth of keyframes at
-  0.25 m spacing over a hospital floor, E ≈ N odometry + loop closures).
-  Solved by the chain+Woodbury solver (``solver/chain.py``) — block
-  cyclic reduction over the odometry chain + low-rank closure correction.
+* >= 1000 concurrent 2-robot hospital-scale graph solves/s on a v5p-16 —
+  the unit of work is the reference's per-keyframe ``optimize(5)``
+  (``/root/reference/src/slam/graph_slam.cpp:561-574``) on a TRUE
+  2-robot MERGED graph: interleaved ownership chains, inter-robot
+  closures, condensed-star edges. The graph is a committed snapshot of
+  the real exchange protocol (``tools/make_bench_fixture.py`` runs
+  ``mr.sim.MultiRobotSim`` until robot 0's view nears its 1024-vertex
+  capacity); the solver is chain+Woodbury under the (owner, keyframe)
+  slot permutation (``solver/chain.py:chain_order``) — the bench asserts
+  the fast path actually fires (chainable, zero dropped loop edges).
 * p99 per-keyframe update latency < 50 ms — measured by replaying the
   synthetic hospital world through the full fused SLAM pipeline
-  (matcher + constraints + vote + optimize) on the chip.
+  (matcher + constraints + vote + optimize) on the chip. Compile
+  exclusion is EVENT-based: the engine's BucketRunner records which
+  keyframes actually traced+compiled (first touch per bucket), and
+  exactly those are excluded — a genuinely slow steady-state keyframe
+  is NOT reclassified. The dispatch floor rides along in extra.
 
-Prints ONE JSON line. ``value``/``vs_baseline`` carry the headline
-solves/s; ``extra`` carries the latency percentiles and secondary rows
-(toy-scale continuity row, 64k-pose PCG solve, dense-path comparison).
+Prints ONE JSON line. ``value`` carries the headline solves/s;
+``vs_baseline`` is the RAW measured ratio vs the 1000 solves/s 16-chip
+target (this bench runs on ONE chip — no extrapolated credit; the
+per-chip share ratio is reported in extra for context).
 """
 
 import dataclasses
 import json
 import platform
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -35,12 +44,25 @@ import jax.numpy as jnp  # noqa: E402
 
 from cg_mrslam_tpu.core import graph as G  # noqa: E402
 
+FIXTURE = Path(__file__).parent / "tests/fixtures/merged_2robot_1024.npz"
+
+# chain-solver operating point for the headline row; chosen by the
+# round-3 lever sweep on chip (tools/profile_chain3.py). The descending
+# CG budget spends iterations where the contraction happens (the first
+# GN step) and lets tolerance exit the polish steps early; damp stays at
+# the f32 CR stability floor (1e-4 measured divergent). Parity vs the
+# dense solver is pinned by tests/test_chain_solver.py.
+CHAIN_KW = dict(loop_cap=64, cg_iters=48, cg_tol=1e-4,
+                cg_schedule=(48, 24, 16, 12, 12))
+
 
 def build_hospital_batch(batch: int, n: int = 1024, closures: int = 48,
                          seed: int = 0) -> G.PoseGraph:
-    """A batch of hospital-scale graphs: an N-pose loop trajectory
-    (0.25 m keyframe spacing ~ 256 m of corridor) + mid-range loop
-    closures, independently noise-perturbed per batch element."""
+    """A batch of single-robot hospital-scale graphs: an N-pose loop
+    trajectory (0.25 m keyframe spacing ~ 256 m of corridor) + mid-range
+    loop closures, independently noise-perturbed per batch element.
+    Kept as the round-1/2 continuity row; the HEADLINE row uses the
+    merged 2-robot fixture (``build_merged_batch``)."""
     rng = np.random.default_rng(seed)
     th = np.linspace(0, 2 * np.pi, n, endpoint=False)
     gt = np.stack([40 * np.cos(th), 40 * np.sin(th), th + np.pi / 2], 1)
@@ -82,6 +104,45 @@ def build_hospital_batch(batch: int, n: int = 1024, closures: int = 48,
         n_edges=jnp.full((batch,), e, jnp.int32))
 
 
+def build_merged_batch(batch: int, seed: int = 0):
+    """The honest 2-robot workload: the committed protocol snapshot
+    (robot 0's merged view from a real ``MultiRobotSim`` run), tiled to
+    ``batch`` with independent pose noise per element. Returns
+    ``(graphs, order)`` — ``order`` is the (owner, keyframe) slot
+    permutation the chain solver needs on merged graphs."""
+    from cg_mrslam_tpu.solver.chain import chain_order
+
+    z = np.load(FIXTURE)
+    rng = np.random.default_rng(seed)
+    poses0 = z["poses"]
+    vmask = z["vmask"]
+    n = poses0.shape[0]
+    noise = np.concatenate(
+        [rng.normal(0, 0.10, (batch, n, 2)),
+         rng.normal(0, 0.03, (batch, n, 1))], 2).astype(np.float32)
+    noise[:, ~vmask] = 0
+    noise[:, z["fixed"]] = 0
+    poses = (poses0[None] + noise).astype(np.float32)
+
+    bc = lambda a: jnp.asarray(np.broadcast_to(
+        a, (batch,) + a.shape).copy())
+    g = G.PoseGraph(
+        poses=jnp.asarray(poses), vmask=bc(vmask), fixed=bc(z["fixed"]),
+        e_ij=bc(z["e_ij"]), e_z=bc(z["e_z"]), e_info=bc(z["e_info"]),
+        emask=bc(z["emask"]), e_level=bc(z["e_level"]),
+        e_owner=bc(z["e_owner"]),
+        n_vertices=jnp.full((batch,), int(z["n_vertices"]), jnp.int32),
+        n_edges=jnp.full((batch,), int(z["n_edges"]), jnp.int32))
+    order = chain_order(jnp.asarray(z["v_owner"]),
+                        jnp.asarray(z["v_remote"]),
+                        jnp.asarray(vmask))
+    meta = {
+        "n_vertices": int(z["n_vertices"]), "n_edges": int(z["n_edges"]),
+        "foreign_vertices": int(np.sum(vmask & (z["v_owner"] != 0))),
+    }
+    return g, order, meta
+
+
 def timed(fn, g, reps: int = 4):
     """Median wall seconds; distinct inputs per rep + scalar fetch (the
     remote tunnel memoizes identical calls)."""
@@ -98,13 +159,39 @@ def timed(fn, g, reps: int = 4):
     return float(np.median(ts)), out
 
 
+def bench_merged(batch: int = 512):
+    """HEADLINE: the true 2-robot merged graph, chain+Woodbury under the
+    ownership permutation. Asserts the fast path is actually taken
+    (chainable), nothing was truncated (dropped == 0), and the solve is
+    honest (chi2 collapse)."""
+    from cg_mrslam_tpu.core.linearize import chi2
+    from cg_mrslam_tpu.solver import chain as CH
+
+    g, order, meta = build_merged_batch(batch)
+    g0 = jax.tree_util.tree_map(lambda a: a[0], g)
+    assert bool(CH.chainable(g0, loop_cap=CHAIN_KW["loop_cap"],
+                             order=order)), \
+        "merged fixture must take the chain fast path"
+
+    step = jax.jit(jax.vmap(
+        lambda gg: CH.optimize_chain(gg, iterations=5, order=order,
+                                     return_dropped=True, **CHAIN_KW)))
+    dt, (out, dropped) = timed(step, g)
+    assert int(np.max(np.asarray(dropped))) == 0, "loop_cap truncated"
+    c0 = float(jax.vmap(chi2)(g).mean())
+    c1 = float(jax.vmap(chi2)(out).mean())
+    assert np.isfinite(c1) and c1 < 0.05 * c0, (c0, c1)  # honest solves
+    return batch / dt, dt, c0, c1, meta
+
+
 def bench_hospital(batch: int = 512):
+    """Continuity row: the single-robot-shaped graph of rounds 1-2."""
     from cg_mrslam_tpu.core.linearize import chi2
     from cg_mrslam_tpu.solver import chain as CH
 
     g = build_hospital_batch(batch)
     step = jax.jit(jax.vmap(
-        lambda gg: CH.optimize_chain(gg, iterations=5, loop_cap=64)))
+        lambda gg: CH.optimize_chain(gg, iterations=5, **CHAIN_KW)))
     dt, out = timed(step, g)
     c0 = float(jax.vmap(chi2)(g).mean())
     c1 = float(jax.vmap(chi2)(out).mean())
@@ -136,7 +223,8 @@ def bench_toy(batch: int = 1024):
 
 def bench_pcg_64k():
     """The 100k-pose regime: matrix-free PCG on a 65 536-pose graph
-    (dense H would be 38 GB — cannot exist)."""
+    (dense H would be 38 GB — cannot exist). Guarded like every other
+    row: a silent convergence regression fails the bench."""
     from cg_mrslam_tpu.core.linearize import chi2
     from cg_mrslam_tpu.solver import pcg as PCG
 
@@ -147,14 +235,17 @@ def bench_pcg_64k():
     dt, out = timed(step, g, reps=2)
     c0 = float(chi2(g))
     c1 = float(chi2(out))
+    assert np.isfinite(c1) and c1 < 1e-3 * c0, (c0, c1)
     return dt, c0, c1
 
 
 def bench_keyframe_latency(ticks: int = 420):
     """p50/p99 per-keyframe latency of the FULL fused pipeline on chip
     (matcher grids + score volumes + candidate sets + covariance gate +
-    vote + optimize(5)), excluding keyframes that triggered an XLA
-    compile (first touch per bucket — amortized to zero over a run)."""
+    vote + optimize(5)). Compile exclusion is EVENT-based: exactly the
+    keyframes the BucketRunner recorded as first-touch compiles are cut;
+    every other keyframe counts, however slow. The dispatch floor (a
+    trivial jitted identity round trip) is measured alongside."""
     from cg_mrslam_tpu.config import Config, MatcherConfig, SlamConfig
     from cg_mrslam_tpu.pipeline.slam import SingleRobotSlam
     from cg_mrslam_tpu.sim import world as W
@@ -177,48 +268,97 @@ def bench_keyframe_latency(ticks: int = 420):
     for t in range(1, T):
         slam.observe(traj.rel_odom[t - 1], traj.ranges[t])
     lat = np.asarray(slam.metrics.values("keyframe_latency"))
-    # compile keyframes are an order of magnitude above steady state;
-    # cut at 3x the running median of the warmed tail
-    steady = lat[lat < 4 * np.median(lat)]
+    compile_idx = set(slam.runner.compile_events)
+    steady = np.asarray([v for i, v in enumerate(lat)
+                         if i not in compile_idx])
+
+    # dispatch floor: trivial jitted identity on the same state pytree
+    floor_fn = jax.jit(lambda s: s.graph.poses + 1.0)
+    floor_fn(slam.state)
+    fs = []
+    for k in range(5):
+        st = dataclasses.replace(
+            slam.state, graph=dataclasses.replace(
+                slam.state.graph,
+                poses=slam.state.graph.poses + 1e-6 * (k + 1)))
+        st = jax.block_until_ready(st)
+        t0 = time.perf_counter()
+        np.asarray(jax.tree_util.tree_leaves(floor_fn(st))[0]).ravel()[:1]
+        fs.append(time.perf_counter() - t0)
+    floor_ms = float(np.median(fs)) * 1e3
+
     return (float(np.percentile(steady, 50)) * 1e3,
             float(np.percentile(steady, 99)) * 1e3,
-            int(lat.size), int(lat.size - steady.size))
+            int(lat.size), int(lat.size - steady.size), floor_ms)
 
 
 def main():
-    solves_s, dt, c0, c1 = bench_hospital()
-    p50, p99, n_kf, n_excl = bench_keyframe_latency()
+    if not FIXTURE.exists():
+        # the merged fixture is generated on-chip by
+        # tools/make_bench_fixture.py; without it fall back to the
+        # single-robot-shaped row, clearly labeled (never a silent swap)
+        solves_s, dt, c0, c1 = bench_hospital()
+        p50, p99, n_kf, n_excl, floor_ms = bench_keyframe_latency()
+        print(json.dumps({
+            "metric": "hospital_scale_graph_solves_per_s",
+            "value": round(solves_s, 1),
+            "unit": ("solves/s (1024-pose SINGLE-robot-shaped graph — "
+                     "merged 2-robot fixture missing, run "
+                     "tools/make_bench_fixture.py; vs_baseline is the "
+                     "RAW ratio vs the 16-chip 1000 solves/s target)"),
+            "vs_baseline": round(solves_s / 1000.0, 4),
+            "extra": {
+                "fixture_missing": True,
+                "vs_per_chip_share_62_5": round(solves_s / 62.5, 3),
+                "hospital_chi2_drop": [round(c0, 2), round(c1, 4)],
+                "keyframe_latency_ms": {
+                    "p50": round(p50, 1), "p99": round(p99, 1),
+                    "keyframes": n_kf,
+                    "compile_excluded_events": n_excl,
+                    "dispatch_floor_ms": round(floor_ms, 1),
+                    "vs_50ms_target": round(50.0 / max(p99, 1e-9), 2)},
+            },
+        }))
+        return
+
+    solves_s, dt, c0, c1, meta = bench_merged()
+    p50, p99, n_kf, n_excl, floor_ms = bench_keyframe_latency()
+    hosp = bench_hospital()
     toy = bench_toy()
     dense = bench_dense_reference_point()
     pcg_dt, pc0, pc1 = bench_pcg_64k()
 
     # The BASELINE.md throughput target is >=1000 solves/s on a v5p-16
-    # (16 chips); this bench runs on ONE chip. The workload is a vmap
-    # over independent graphs — embarrassingly data-parallel, verified
-    # to shard with zero cross-talk by the graphs-axis mesh tests
-    # (tests/test_sharding.py) — so the honest per-chip share of the
-    # target is 1000/16 = 62.5 solves/s/chip. Both ratios are reported;
-    # vs_baseline carries the per-chip one, the raw 16-chip ratio is in
-    # extra.
-    per_chip_target = 1000.0 / 16.0
+    # (16 chips); this bench runs on ONE chip. vs_baseline is the RAW
+    # measured/target ratio — no extrapolated multi-chip credit (the
+    # workload is verified to shard cleanly across a graphs-axis mesh by
+    # tests/test_sharding.py, but sharding correctness is not a measured
+    # 16-chip throughput). The per-chip share ratio is in extra.
     print(json.dumps({
-        "metric": "hospital_scale_graph_solves_per_s",
+        "metric": "merged_2robot_graph_solves_per_s",
         "value": round(solves_s, 1),
-        "unit": ("solves/s (1024-pose 2-robot-scale graph, 1071 edges, "
-                 "GN x5 chain+Woodbury, batch 512, 1 chip; vs_baseline "
-                 "is vs the per-chip share of the 16-chip v5p target)"),
-        "vs_baseline": round(solves_s / per_chip_target, 3),
+        "unit": (f"solves/s ({meta['n_vertices']}-vertex 2-robot merged "
+                 f"graph, {meta['n_edges']} edges, "
+                 f"{meta['foreign_vertices']} foreign vertices, GN x5 "
+                 "chain+Woodbury under ownership permutation, batch 512, "
+                 "1 chip; vs_baseline is the RAW ratio vs the 16-chip "
+                 "1000 solves/s target)"),
+        "vs_baseline": round(solves_s / 1000.0, 4),
         "extra": {
-            "vs_16chip_target_raw": round(solves_s / 1000.0, 4),
-            "hospital_batch_ms": round(dt * 1e3, 1),
-            "hospital_chi2_drop": [round(c0, 2), round(c1, 4)],
+            "vs_per_chip_share_62_5": round(solves_s / 62.5, 3),
+            "merged_batch_ms": round(dt * 1e3, 1),
+            "merged_chi2_drop": [round(c0, 2), round(c1, 4)],
+            "chain_operating_point": {k: v for k, v in CHAIN_KW.items()},
             "keyframe_latency_ms": {
                 "p50": round(p50, 1), "p99": round(p99, 1),
-                "keyframes": n_kf, "compile_excluded": n_excl,
+                "keyframes": n_kf,
+                "compile_excluded_events": n_excl,
+                "dispatch_floor_ms": round(floor_ms, 1),
                 "vs_50ms_target": round(50.0 / max(p99, 1e-9), 2)},
+            "hospital_1robot_solves_per_s": round(hosp[0], 1),
             "toy_40pose_solves_per_s": round(toy, 1),
             "dense_solver_same_scale_solves_per_s": round(dense, 1),
-            "chain_vs_dense_speedup": round(solves_s / max(dense, 1e-9),
+            "chain_vs_dense_speedup": round(hosp[0] / max(dense, 1e-9),
                                             1),
             "pcg_65536_pose_gn5_s": round(pcg_dt, 2),
             "pcg_65536_chi2_drop": [round(pc0, 1), round(pc1, 2)],

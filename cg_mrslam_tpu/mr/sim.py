@@ -61,6 +61,7 @@ class MultiRobotSim:
         self.drop_prob = 0.0
         self._drop_rng = np.random.default_rng(seed + 999)
         self.ping_log = None  # NET.PingLog for bag modality
+        self._tick = 1  # resume cursor: run() continues where it left off
 
     def _dead_reckon(self, r: int, rel):
         e = self._est[r]
@@ -75,7 +76,9 @@ class MultiRobotSim:
         T = min(len(t.gt) for t in self.trajs)
         if max_ticks:
             T = min(T, max_ticks)
-        for t in range(1, T):
+        start = self._tick
+        self._tick = max(self._tick, T)
+        for t in range(start, T):
             keyframed = []
             for r in range(self.R):
                 self._dead_reckon(r, self.trajs[r].rel_odom[t - 1])

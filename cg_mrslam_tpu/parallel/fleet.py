@@ -194,9 +194,16 @@ def fleet_round_sharded(states: MR.MRState, conn: jax.Array, cfg: Config,
         st, _ = jax.lax.scan(rx_star, st, (rids, my_stars, conn_full[me]))
         return unsqueeze(st)
 
+    # check_vma=False: jax 0.9's static varying-axes typing rejects the
+    # receive scans' carry (replicated scalars like the scan geometry
+    # become varying once mixed with per-robot data — exactly what this
+    # protocol does by construction). The runtime semantics are
+    # unchanged; parity vs the host loop is pinned by tests/test_fleet
+    # and the driver's multichip dryrun.
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P("robots"), P()),
         out_specs=P("robots"),
+        check_vma=False,
     )
     return fn(states, conn)

@@ -28,7 +28,12 @@ from cg_mrslam_tpu.solver.initial_guess import spanning_tree_guess
 
 FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
 EXPECTED = json.load(open(os.path.join(FIXDIR, "expected_chi2.json")))
-NAMES = sorted(EXPECTED)
+# fast tier runs the smallest fixture (full semantics coverage); the
+# 80-vertex ones repeat the same checks at scale in the full gate —
+# they were the fast tier's heaviest items (~55 s each on this box)
+NAMES = [n if "60" in n else
+         pytest.param(n, marks=pytest.mark.slow)
+         for n in sorted(EXPECTED)]
 
 
 def test_error_convention_closed_form():

@@ -14,7 +14,7 @@ def _spd(rng, b, n, cond=1e3):
 
 def test_matches_numpy_inverse():
     rng = np.random.default_rng(0)
-    for n in (12, 24, 48, 192, 300):  # 300: odd split path
+    for n in (12, 48, 192, 75):  # 75: odd split path
         h = _spd(rng, 4, n)
         got = np.asarray(spd_inverse(jnp.asarray(h, jnp.float64)))
         want = np.linalg.inv(h)
