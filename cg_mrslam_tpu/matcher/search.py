@@ -144,6 +144,7 @@ def volume_topk(scores: jax.Array, base: jax.Array, thetas: jax.Array,
     penalties, so acceptance thresholds see pure scan agreement)."""
     t, dy, dx = scores.shape
     flat = scores.reshape(-1)
+    k = min(k, flat.shape[0])   # tiny windows can hold < k cells
     neg, idx = jax.lax.top_k(-flat, k)
     it = idx // (dy * dx)
     iy = (idx // dx) % dy

@@ -103,9 +103,10 @@ def own_vertices(state: SlamState) -> jax.Array:
 
 
 def newest_own(state: SlamState, k: int):
-    """Slots of my newest ``k`` own keyframes, newest first (+valid)."""
+    """Slots of my newest ``k`` own keyframes, newest first (+valid).
+    ``k`` clamps to the slot count (tiny sliced buckets)."""
     score = jnp.where(own_vertices(state), state.v_remote, -1)
-    vals, slots = jax.lax.top_k(score, k)
+    vals, slots = jax.lax.top_k(score, min(k, score.shape[-1]))
     return slots.astype(jnp.int32), vals >= 0
 
 
@@ -253,7 +254,9 @@ def _match_regions(state: SlamState, est, cand, labels, regions,
         in_comp = cand & (labels == labels[rep])
         d = jnp.linalg.norm(g.poses[:, :2] - g.poses[rep, :2], axis=-1)
         score = jnp.where(in_comp, -d, -jnp.float32(1e9))
-        _, mem = jax.lax.top_k(score, cfg.region_vertices)
+        # clamp: a sliced bucket can be smaller than region_vertices
+        _, mem = jax.lax.top_k(score,
+                               min(cfg.region_vertices, score.shape[-1]))
         mem_ok = in_comp[mem] & state.scans.smask[mem]
 
         pts = S.scan_points(state.scans, mem)               # [M,B,2]

@@ -10,6 +10,8 @@ import pytest
 
 pytestmark = pytest.mark.slow  # end-to-end replay; see pytest.ini two-tier invocation
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -231,3 +233,48 @@ def test_heterogeneous_beam_nodes_interop():
     finally:
         for node in nodes:
             node.close()
+
+
+def test_node_bucketed_stepping_and_capacity_counter():
+    """Round-2 verdict item 6: the deployment path must (a) run the
+    bucketed step (a slice smaller than capacity compiles and serves
+    the early run) and (b) COUNT keyframes refused at the capacity
+    stop instead of silently dropping them."""
+    from cg_mrslam_tpu.mr.node import RobotNode
+
+    cfg = Config(
+        slam=SlamConfig(),
+        mr=MRConfig(n_robots=1),
+        close_matcher=MatcherConfig(extent=8.0, resolution=0.1,
+                                    kernel_radius=0.2),
+        lc_matcher=MatcherConfig(extent=12.0, resolution=0.2,
+                                 kernel_radius=0.5),
+        max_vertices=300, max_edges=1200, max_beams=64)
+    fov = 2 * np.pi * 0.75
+    ranges = np.full((64,), 5.0, np.float32)
+    node = RobotNode(cfg, 0, 64, np.zeros(3), ranges, fov, 8.0,
+                     UdpTransport(0, 1, base_port=BASE_PORT + 60),
+                     modality="real")
+    try:
+        for _ in range(3):
+            assert node.observe(np.asarray([0.3, 0.0, 0.0]), ranges)
+        # (a) the step ran on a SLICE: the bucket in use is smaller than
+        # the graph capacity (256 < 300), not the full-capacity program
+        assert any(nb < cfg.max_vertices
+                   for (nb, eb) in node.runner._seen), node.runner._seen
+
+        # (b) capacity stop is counted, not silent
+        cfg2 = dataclasses.replace(cfg, max_vertices=8, max_edges=64)
+        node2 = RobotNode(cfg2, 0, 64, np.zeros(3), ranges, fov, 8.0,
+                          UdpTransport(0, 1, base_port=BASE_PORT + 61),
+                          modality="real")
+        try:
+            for _ in range(8):
+                node2.observe(np.asarray([0.3, 0.0, 0.0]), ranges)
+            assert node2.stats["keyframes_capacity_stopped"] > 0
+            assert int(node2.state.slam.graph.n_vertices) \
+                <= cfg2.max_vertices - 4
+        finally:
+            node2.close()
+    finally:
+        node.close()
