@@ -177,16 +177,20 @@ def _add_keyframe(state: SlamState, est, ranges, cfg: Config):
     return state, m.accepted
 
 
-def _covariance_gate(g: PoseGraph, cur, reps, rvalid, cfg: Config):
+def _covariance_gate(g: PoseGraph, cur, reps, rvalid, cfg: Config,
+                     order=None):
     """Mahalanobis gate on region representatives: is the candidate
     statistically within perception range of the current vertex?
     (reference ``checkCovariance``, ``graph_slam.cpp:311-354``: marginal
     covariance with gauge at the current vertex, χ²(2) 5.99 cut, distances
-    deflated by 1 m perception range)."""
+    deflated by 1 m perception range). Marginals go through the
+    capacity-banded backend (``order`` = chain permutation) so large
+    buckets avoid the dense [3N,3N] factorization."""
     n = g.poses.shape[0]
     regauged = dataclasses.replace(
         g, fixed=jax.nn.one_hot(cur, n, dtype=bool))
-    cov = gn.marginal_covariance(regauged, reps)            # [K,3,3]
+    cov = gn.marginal_covariance_auto(regauged, reps,
+                                      order=order)          # [K,3,3]
     delta = g.poses[reps, :2] - g.poses[cur, :2]            # [K,2]
     dist = jnp.linalg.norm(delta, axis=-1)
     scale = jnp.maximum(dist - cfg.slam.perception_range_deflate, 0.0) / (
@@ -379,7 +383,7 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
         n_comp - jnp.sum(regions.valid.astype(jnp.int32)), 0)
 
     rvalid = _covariance_gate(g, cur, regions.rep_vertex, regions.valid,
-                              cfg)
+                              cfg, order=order)
 
     cur_pts, cur_valid = S.points_from_ranges(state.scans, ranges)
     state = dataclasses.replace(state, graph=g)

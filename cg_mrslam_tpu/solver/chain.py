@@ -470,13 +470,13 @@ def chain_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
 
 
 class _PrecondState(NamedTuple):
-    """Frozen chain+Woodbury preconditioner: CR factorization of the
-    λ-damped chain + the Woodbury pieces, all from ONE linearization.
-    A preconditioner does not have to track the GN relinearizations —
-    any fixed SPD M only changes CG's iteration count, never its fixed
-    point — so ``optimize_chain`` builds this once and reuses it for all
-    GN iterations, cutting the dominant per-iteration fixed cost
-    (measured 63% of the round-2 solve time)."""
+    """Chain+Woodbury preconditioner state: CR factorization of the
+    λ-damped chain + the Woodbury pieces from one linearization. Built
+    per GN iteration by default; reusable across iterations via
+    ``optimize_chain(freeze_precond=True)`` (see the measured TPU caveat
+    there) and across the 3Q column solves of
+    :func:`marginal_covariance_chain` (one linearization — always
+    sound)."""
     fact_levels: tuple    # _cr_factor levels (tuple-ized for pytree use)
     fact_root: jax.Array
     fact_meta: tuple      # (n, m, n3, group) static ints
@@ -705,3 +705,104 @@ def optimize_chain(g: PoseGraph, iterations: int = 5,
 
         (g, dmax), _ = jax.lax.scan(body, (g, jnp.int32(0)), sched)
     return (g, dmax) if return_dropped else g
+
+
+@partial(jax.jit, static_argnames=("loop_cap", "cg_iters", "damp"))
+def marginal_covariance_chain(g: PoseGraph, query: jax.Array,
+                              edge_mask: jax.Array | None = None,
+                              loop_cap: int = 64, cg_tol: float = 1e-5,
+                              cg_iters: int = 64,
+                              order: jax.Array | None = None,
+                              damp: float = 1e-3) -> jax.Array:
+    """Marginal 3×3 covariance blocks ``[Q,3,3]`` of the queried
+    vertices on the chain+Woodbury path — the O(N log N) replacement for
+    the dense ``gauss_newton.marginal_covariance`` (one [3N,3N]
+    factorization) that keeps the covariance gate out of O(N³) in large
+    buckets (reference ``computeMarginals`` via ``CovarianceEstimator``,
+    ``graph_manipulator.cpp:128-157``).
+
+    Each of the 3Q unit columns e_{q,c} is solved with preconditioned CG
+    on the true H (same operators as :func:`chain_delta`), vmapped so
+    the tridiagonal matvec batches over columns. One linearization, one
+    CR factorization, one Woodbury correction — shared by all columns.
+    ``order`` solves under the slot permutation (merged multi-robot
+    graphs); queries and results stay in original slot coordinates.
+    """
+    if order is not None:
+        from cg_mrslam_tpu.core.graph import (
+            inverse_permutation, permute_vertices,
+        )
+
+        inv = inverse_permutation(order)
+        return marginal_covariance_chain(
+            permute_vertices(g, order), inv[query], edge_mask,
+            loop_cap, cg_tol, cg_iters, None, damp)
+
+    with jax.default_matmul_precision("float32"):
+        n = g.poses.shape[0]
+        td, _, (li, lj, lJi, lJj, lom), _ = _assemble(
+            g, edge_mask, loop_cap, damp=damp)
+        m = li.shape[0]
+        pst = _precond_setup(td, (li, lj, lJi, lJj, lom), n)
+        fact = _pst_fact(pst)
+
+        def precond(r):
+            z = _cr_apply(fact, r[..., None])[..., 0]
+            y = _mm(pst.s_inv, (_es("mac,mc->ma", pst.lJi, z[pst.li])
+                                + _es("mac,mc->ma", pst.lJj, z[pst.lj])
+                                ).reshape(3 * m))
+            return z - _es("ncq,q->nc", pst.HinvU, y)
+
+        def h_matvec(x):
+            D, L = td.Dt, td.L
+            xp = jnp.concatenate(
+                [jnp.zeros((1, 3), x.dtype), x[:-1]], axis=0)
+            xn2 = jnp.concatenate(
+                [x[1:], jnp.zeros((1, 3), x.dtype)], axis=0)
+            y = (_es("nij,nj->ni", D, x)
+                 + _es("nij,nj->ni",
+                       jnp.concatenate([jnp.zeros((1, 3, 3), L.dtype),
+                                        L[:-1]], axis=0), xp)
+                 + _es("nji,nj->ni", L, xn2))
+            utx = (_es("mac,mc->ma", lJi, x[li])
+                   + _es("mac,mc->ma", lJj, x[lj]))
+            w = _es("mij,mj->mi", lom, utx)
+            y = y.at[li].add(_es("mac,ma->mc", lJi, w))
+            y = y.at[lj].add(_es("mac,ma->mc", lJj, w))
+            return y
+
+        def solve_col(qv, c):
+            rhs = jnp.zeros((n, 3), g.poses.dtype).at[qv, c].set(1.0)
+            x = precond(rhs)
+            r = rhs - h_matvec(x)
+            z = precond(r)
+            tol2 = jnp.asarray(cg_tol * cg_tol, rhs.dtype)
+
+            def cond(s):
+                k, _, rr, _, _ = s
+                return (k < cg_iters) & (jnp.sum(rr * rr) > tol2)
+
+            def body(s):
+                k, x, rr, p, rz = s
+                hp = h_matvec(p)
+                den = jnp.sum(p * hp)
+                ok = den > 1e-30
+                alpha = jnp.where(ok, rz / jnp.where(ok, den, 1.0), 0.0)
+                x = x + alpha * p
+                rr = rr - alpha * hp
+                zz = precond(rr)
+                rz2 = jnp.sum(rr * zz)
+                okb = jnp.abs(rz) > 1e-30
+                beta = jnp.where(okb, rz2 / jnp.where(okb, rz, 1.0), 0.0)
+                return k + 1, x, rr, zz + beta * p, rz2
+
+            _, x, _, _, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), x, r, z, jnp.sum(r * z)))
+            return x[qv]                       # [3] = Σ[:, c] at vertex q
+
+        qs = jnp.repeat(query, 3)                        # [3Q]
+        cs = jnp.tile(jnp.arange(3), query.shape[0])     # [3Q]
+        cols = jax.vmap(solve_col)(qs, cs)               # [3Q, 3]
+        sig = cols.reshape(query.shape[0], 3, 3)         # [Q, c, row]
+        sig = jnp.swapaxes(sig, -1, -2)                  # rows × cols
+        return 0.5 * (sig + jnp.swapaxes(sig, -1, -2))   # symmetrize

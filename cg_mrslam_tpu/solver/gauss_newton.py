@@ -232,6 +232,29 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
         g)
 
 
+def marginal_covariance_auto(g: PoseGraph, query: jax.Array,
+                             edge_mask: jax.Array | None = None,
+                             loop_cap: int = 64,
+                             order: jax.Array | None = None) -> jax.Array:
+    """``marginal_covariance`` with a scale-appropriate backend, same
+    banding as :func:`optimize_auto`: dense column solves up to
+    ``DENSE_MAX`` capacity; above it, chain-preconditioned CG column
+    solves (``solver.chain.marginal_covariance_chain``) when the graph
+    is covered, dense fallback otherwise — the covariance gate stops
+    being the last O(N³) stage of large-bucket keyframes."""
+    n = g.poses.shape[-2]
+    if n <= DENSE_MAX:
+        return marginal_covariance(g, query, edge_mask)
+    from cg_mrslam_tpu.solver import chain as CH
+
+    return jax.lax.cond(
+        CH.chainable(g, edge_mask, loop_cap=loop_cap, order=order),
+        lambda gg: CH.marginal_covariance_chain(
+            gg, query, edge_mask, loop_cap=loop_cap, order=order),
+        lambda gg: marginal_covariance(gg, query, edge_mask),
+        g)
+
+
 class LMState(NamedTuple):
     graph: PoseGraph
     lam: jax.Array

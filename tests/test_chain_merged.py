@@ -240,3 +240,30 @@ def test_keyframe_step_selects_chain_backend_at_large_capacity():
     assert int(info.solver_backend) == 1, (
         "chain band must take the chain+Woodbury backend on a merged "
         f"ownership graph, got backend={int(info.solver_backend)}")
+
+
+def test_chain_marginals_match_dense():
+    """marginal_covariance_chain ≡ dense marginal_covariance on the
+    merged-ownership graph (the covariance gate's chain-band backend)."""
+    g, vo, vr = _interleaved_merged_graph(seed=4)
+    order = CH.chain_order(vo, vr, g.vmask)
+    reps = jnp.asarray([5, 17, 33, 50], jnp.int32)
+    dense = gn.marginal_covariance(g, reps)
+    fast = CH.marginal_covariance_chain(g, reps, order=order)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
+                               rtol=2e-2, atol=2e-4)
+
+
+def test_regauged_chain_marginals_match_dense():
+    """The gate's exact usage: gauge moved to the current vertex."""
+    g, vo, vr = _interleaved_merged_graph(seed=5)
+    order = CH.chain_order(vo, vr, g.vmask)
+    n = g.poses.shape[0]
+    cur = jnp.int32(40)
+    regauged = dataclasses.replace(
+        g, fixed=jax.nn.one_hot(cur, n, dtype=bool))
+    reps = jnp.asarray([3, 21, 48], jnp.int32)
+    dense = gn.marginal_covariance(regauged, reps)
+    fast = CH.marginal_covariance_chain(regauged, reps, order=order)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
+                               rtol=2e-2, atol=2e-4)
