@@ -46,14 +46,14 @@ from cg_mrslam_tpu.core import graph as G  # noqa: E402
 
 FIXTURE = Path(__file__).parent / "tests/fixtures/merged_2robot_1024.npz"
 
-# chain-solver operating point for the headline row; chosen by the
-# round-3 lever sweep on chip (tools/profile_chain3.py). The descending
+# chain-solver operating point for the headline row. The descending
 # CG budget spends iterations where the contraction happens (the first
 # GN step) and lets tolerance exit the polish steps early; damp stays at
 # the f32 CR stability floor (1e-4 measured divergent). Parity vs the
-# dense solver is pinned by tests/test_chain_solver.py.
-CHAIN_KW = dict(loop_cap=64, cg_iters=48, cg_tol=1e-4,
-                cg_schedule=(48, 24, 16, 12, 12))
+# dense solver is pinned by tests/test_chain_solver.py. Conservative
+# until the round-3 chip sweep lands (tools/profile_chain3.py): the
+# uniform cg48/t1e-6 point is the chip-verified round-2 operating point.
+CHAIN_KW = dict(loop_cap=64, cg_iters=48, cg_tol=1e-6)
 
 
 def build_hospital_batch(batch: int, n: int = 1024, closures: int = 48,

@@ -11,6 +11,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cg_mrslam_tpu.core import graph as G
 from cg_mrslam_tpu.core.linearize import chi2
@@ -146,6 +147,8 @@ def test_batched_vmap_form():
     np.testing.assert_allclose(cf, cd, atol=1e-6)
 
 
+@pytest.mark.slow  # N=1024 f32-vs-f64 tracking; bench asserts
+# the same property on chip every round (chi2 collapse guard)
 def test_hospital_scale_f32_accuracy():
     """N=1024: the f32 chain solve must track the f64 one (the TPU bench
     regime; at bf16 matmul precision this diverges to NaN — chain.py
