@@ -46,14 +46,15 @@ from cg_mrslam_tpu.core import graph as G  # noqa: E402
 
 FIXTURE = Path(__file__).parent / "tests/fixtures/merged_2robot_1024.npz"
 
-# chain-solver operating point for the headline row. The descending
-# CG budget spends iterations where the contraction happens (the first
-# GN step) and lets tolerance exit the polish steps early; damp stays at
-# the f32 CR stability floor (1e-4 measured divergent). Parity vs the
-# dense solver is pinned by tests/test_chain_solver.py. Conservative
-# until the round-3 chip sweep lands (tools/profile_chain3.py): the
-# uniform cg48/t1e-6 point is the chip-verified round-2 operating point.
-CHAIN_KW = dict(loop_cap=64, cg_iters=48, cg_tol=1e-6)
+# chain-solver operating point, picked by the round-3 chip sweep
+# (tools/profile_chain3.py, deterministic across reruns): cg24/t1e-4 is
+# BOTH the fastest and the most accurate point measured (78.8 solves/s,
+# chi2 mean 0.048 / max 23.6 from 6.2e4) — f32 CG sits at a breakdown
+# cliff past ~24 iterations on this problem (cg32 is WORSE: 0.25/130;
+# cg48@1e-6 blows up to 1e7), so deeper budgets buy degradation, not
+# accuracy. The rz>0 breakdown guard in the CG loop stops exactly at
+# that cliff regardless of the configured budget.
+CHAIN_KW = dict(loop_cap=64, cg_iters=24, cg_tol=1e-4)
 
 
 def build_hospital_batch(batch: int, n: int = 1024, closures: int = 48,

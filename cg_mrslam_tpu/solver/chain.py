@@ -605,12 +605,24 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
              else jnp.minimum(jnp.int32(cg_iters),
                               cg_iter_bound.astype(jnp.int32)))
 
+    # Best-iterate tracking: f32 CG on this problem sits at a breakdown
+    # cliff — past ~24 iterations conjugacy is lost and the iterate
+    # DEGRADES monotonically (measured deterministic on chip: cg24
+    # reaches chi2 0.05 where cg32 gives 0.25 and cg48 blows up to 1e7).
+    # Carrying the lowest-residual iterate and returning IT makes every
+    # budget safe: overrun wastes time, never accuracy. (A <r,Mr> > 0
+    # guard does NOT work here — with this preconditioner the initial
+    # residual is already at the f32 noise floor, so rz's sign is noise
+    # and the guard stops CG before it starts; measured chi2 5e4.)
+    rr2 = jnp.sum(r * r)
+
     def cond(s):
-        k, _, rr, _, _ = s
-        return (k < bound) & (jnp.sum(rr * rr) / bn > tol2)
+        k, _, _, _, _, rr2, _, rr2_best = s
+        return ((k < bound) & (rr2 / bn > tol2)
+                & (rr2 < 100.0 * rr2_best))   # stop a runaway divergence
 
     def body(s):
-        k, x, rr, p, rz = s
+        k, x, rr, p, rz, _, x_best, rr2_best = s
         hp = h_matvec(p)
         den = jnp.sum(p * hp)
         ok = den > 1e-30
@@ -621,11 +633,17 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
         rz2 = jnp.sum(rr * zz)
         okb = jnp.abs(rz) > 1e-30
         beta = jnp.where(okb, rz2 / jnp.where(okb, rz, 1.0), 0.0)
-        return k + 1, x, rr, zz + beta * p, rz2
+        rr2n = jnp.sum(rr * rr)
+        better = rr2n < rr2_best
+        x_best = jnp.where(better, x, x_best)
+        rr2_best = jnp.where(better, rr2n, rr2_best)
+        return (k + 1, x, rr, zz + beta * p, rz2, rr2n, x_best,
+                rr2_best)
 
-    _, dx, _, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), x, r, z, jnp.sum(r * z)))
-
+    out = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), x, r, z, jnp.sum(r * z), rr2, x, rr2))
+    dx = out[6]                                    # best iterate
     dx = dx * td.free[:, None].astype(dx.dtype)
     return dx, dropped
 
@@ -777,13 +795,17 @@ def marginal_covariance_chain(g: PoseGraph, query: jax.Array,
             r = rhs - h_matvec(x)
             z = precond(r)
             tol2 = jnp.asarray(cg_tol * cg_tol, rhs.dtype)
+            rr2 = jnp.sum(r * r)
 
             def cond(s):
-                k, _, rr, _, _ = s
-                return (k < cg_iters) & (jnp.sum(rr * rr) > tol2)
+                k, _, _, _, _, rr2, _, rr2_best = s
+                # best-iterate tracking against f32 CG overrun — see
+                # chain_delta's CG for the measured rationale
+                return ((k < cg_iters) & (rr2 > tol2)
+                        & (rr2 < 100.0 * rr2_best))
 
             def body(s):
-                k, x, rr, p, rz = s
+                k, x, rr, p, rz, _, x_best, rr2_best = s
                 hp = h_matvec(p)
                 den = jnp.sum(p * hp)
                 ok = den > 1e-30
@@ -794,11 +816,17 @@ def marginal_covariance_chain(g: PoseGraph, query: jax.Array,
                 rz2 = jnp.sum(rr * zz)
                 okb = jnp.abs(rz) > 1e-30
                 beta = jnp.where(okb, rz2 / jnp.where(okb, rz, 1.0), 0.0)
-                return k + 1, x, rr, zz + beta * p, rz2
+                rr2n = jnp.sum(rr * rr)
+                better = rr2n < rr2_best
+                x_best = jnp.where(better, x, x_best)
+                rr2_best = jnp.where(better, rr2n, rr2_best)
+                return (k + 1, x, rr, zz + beta * p, rz2, rr2n, x_best,
+                        rr2_best)
 
-            _, x, _, _, _ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), x, r, z, jnp.sum(r * z)))
-            return x[qv]                       # [3] = Σ[:, c] at vertex q
+            out = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), x, r, z, jnp.sum(r * z), rr2, x, rr2))
+            return out[6][qv]                  # [3] = Σ[:, c] at vertex q
 
         qs = jnp.repeat(query, 3)                        # [3Q]
         cs = jnp.tile(jnp.arange(3), query.shape[0])     # [3Q]

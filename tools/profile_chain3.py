@@ -50,10 +50,8 @@ def timed(fn, g, reps=2):
 
 
 LEVERS = (
-    dict(cg_iters=48, cg_tol=1e-4, cg_schedule=(48, 24, 16, 12, 12)),
-    dict(cg_iters=48, cg_tol=1e-5, cg_schedule=(48, 32, 24, 16, 12)),
-    dict(cg_iters=24, cg_tol=1e-4, cg_schedule=None),
-    dict(cg_iters=48, cg_tol=1e-6, cg_schedule=None),          # r2 point
+    dict(cg_iters=24, cg_tol=1e-4, cg_schedule=None),   # operating point
+    dict(cg_iters=48, cg_tol=1e-6, cg_schedule=None),   # guard validation
 )
 
 
