@@ -609,17 +609,29 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
     # cliff — past ~24 iterations conjugacy is lost and the iterate
     # DEGRADES monotonically (measured deterministic on chip: cg24
     # reaches chi2 0.05 where cg32 gives 0.25 and cg48 blows up to 1e7).
-    # Carrying the lowest-residual iterate and returning IT makes every
-    # budget safe: overrun wastes time, never accuracy. (A <r,Mr> > 0
+    # Carrying the lowest-residual iterate makes every budget safe:
+    # overrun wastes time, never accuracy. The SELECTION at loop exit is
+    # conditional, not unconditional: return the FINAL iterate unless it
+    # is clearly worse (>4x in residual) than the best seen — CG's
+    # 2-norm residual legitimately oscillates near the f32 noise floor,
+    # and always returning the min-||r|| iterate grabs a STALE early
+    # iterate on well-conditioned solves (measured: chi2 2.5e-4 where
+    # final-iterate reaches 5e-9 on the 72-vertex merged test graph);
+    # only a genuine breakdown leaves final >> best. (A <r,Mr> > 0
     # guard does NOT work here — with this preconditioner the initial
     # residual is already at the f32 noise floor, so rz's sign is noise
     # and the guard stops CG before it starts; measured chi2 5e4.)
     rr2 = jnp.sum(r * r)
 
+    # NOTE: no runaway-stop in cond — near the f32 noise floor rr2
+    # oscillates by orders of magnitude between consecutive iterations,
+    # and an `rr2 < 100*rr2_best` cut fires spuriously under jit
+    # rounding (measured: truncates the 2nd GN iteration of the merged
+    # 72-vertex graph at chi2 3e-4 where the full budget reaches 6e-9).
+    # A genuine breakdown is handled losslessly by the exit selector.
     def cond(s):
         k, _, _, _, _, rr2, _, rr2_best = s
-        return ((k < bound) & (rr2 / bn > tol2)
-                & (rr2 < 100.0 * rr2_best))   # stop a runaway divergence
+        return (k < bound) & (rr2 / bn > tol2)
 
     def body(s):
         k, x, rr, p, rz, _, x_best, rr2_best = s
@@ -643,7 +655,9 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
     out = jax.lax.while_loop(
         cond, body,
         (jnp.int32(0), x, r, z, jnp.sum(r * z), rr2, x, rr2))
-    dx = out[6]                                    # best iterate
+    _, x_fin, _, _, _, rr2_fin, x_best, rr2_best = out
+    broke = rr2_fin > 4.0 * rr2_best               # breakdown, not noise
+    dx = jnp.where(broke, x_best, x_fin)
     dx = dx * td.free[:, None].astype(dx.dtype)
     return dx, dropped
 
@@ -800,9 +814,9 @@ def marginal_covariance_chain(g: PoseGraph, query: jax.Array,
             def cond(s):
                 k, _, _, _, _, rr2, _, rr2_best = s
                 # best-iterate tracking against f32 CG overrun — see
-                # chain_delta's CG for the measured rationale
-                return ((k < cg_iters) & (rr2 > tol2)
-                        & (rr2 < 100.0 * rr2_best))
+                # chain_delta's CG for the measured rationale (no
+                # runaway-stop: spurious at the noise floor)
+                return (k < cg_iters) & (rr2 > tol2)
 
             def body(s):
                 k, x, rr, p, rz, _, x_best, rr2_best = s
@@ -826,7 +840,10 @@ def marginal_covariance_chain(g: PoseGraph, query: jax.Array,
             out = jax.lax.while_loop(
                 cond, body,
                 (jnp.int32(0), x, r, z, jnp.sum(r * z), rr2, x, rr2))
-            return out[6][qv]                  # [3] = Σ[:, c] at vertex q
+            _, x_fin, _, _, _, rr2_fin, x_best, rr2_best = out
+            # final iterate unless a genuine breakdown (see chain_delta)
+            xo = jnp.where(rr2_fin > 4.0 * rr2_best, x_best, x_fin)
+            return xo[qv]                      # [3] = Σ[:, c] at vertex q
 
         qs = jnp.repeat(query, 3)                        # [3Q]
         cs = jnp.tile(jnp.arange(3), query.shape[0])     # [3Q]

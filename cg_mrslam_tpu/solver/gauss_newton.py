@@ -192,8 +192,14 @@ def auto_backend(g: PoseGraph, edge_mask: jax.Array | None = None,
         return jnp.int32(0)
     from cg_mrslam_tpu.solver import chain as CH
 
-    return CH.chainable(g, edge_mask, loop_cap=loop_cap,
-                        order=order).astype(jnp.int32)
+    # chain band: 1 if the permuted fast path is exact, else PCG (2) —
+    # NOT dense: a [3N,3N] inverse past DENSE_MAX is both the cost the
+    # band exists to avoid and numerically unsafe on the chip (measured
+    # round 2: dense N=1024 f32 on TPU returns garbage chi2 ~1e23, and a
+    # live-pipeline fixture run that hit this fallback NaN'd its state).
+    return jnp.where(
+        CH.chainable(g, edge_mask, loop_cap=loop_cap, order=order),
+        jnp.int32(1), jnp.int32(2))
 
 
 def optimize_auto(g: PoseGraph, iterations: int = 5,
@@ -222,13 +228,18 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
     if n <= DENSE_MAX:
         return optimize(g, iterations, edge_mask)
     from cg_mrslam_tpu.solver import chain as CH
+    from cg_mrslam_tpu.solver.pcg import optimize_pcg
 
+    # Non-chainable fallback is PCG, not dense — see auto_backend: the
+    # dense inverse past DENSE_MAX is the O(N^3) this band avoids AND
+    # diverges on the chip at this scale (f32 garbage, measured).
     return jax.lax.cond(
         CH.chainable(g, edge_mask, loop_cap=loop_cap, order=order),
         lambda gg: CH.optimize_chain(gg, iterations=iterations,
                                      edge_mask=edge_mask,
                                      loop_cap=loop_cap, order=order),
-        lambda gg: optimize(gg, iterations, edge_mask),
+        lambda gg: optimize_pcg(gg, iterations=iterations,
+                                edge_mask=edge_mask, cg_iters=96),
         g)
 
 

@@ -71,6 +71,15 @@ def main():
         ne = int(sim.states[0].slam.graph.n_edges)
         print(f"tick {done}: robot0 n_vertices={nv} n_edges={ne} "
               f"({time.time() - t0:.0f}s)", file=sys.stderr)
+        # fail FAST on a solver blowup — a poisoned state would
+        # otherwise silently propagate into the committed fixture
+        # (happened once: the chain band's dense fallback at N=1024
+        # produced f32 garbage on chip and every pose went NaN)
+        for r, s in enumerate(sim.states):
+            p = np.asarray(s.slam.graph.poses)
+            live = np.asarray(s.slam.graph.vmask)
+            assert np.isfinite(p[live]).all(), \
+                f"robot {r} poses went non-finite by tick {done}"
         if nv >= args.target_vertices or ne >= cfg.max_edges - 64:
             break
 
