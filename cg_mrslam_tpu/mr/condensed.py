@@ -58,7 +58,8 @@ def select_gauge_centroid(g: PoseGraph, boundary: jax.Array,
 @jax.jit
 def select_gauge_optimal(g: PoseGraph, boundary: jax.Array,
                          valid: jax.Array,
-                         edge_mask: jax.Array) -> jax.Array:
+                         edge_mask: jax.Array,
+                         order: jax.Array | None = None) -> jax.Array:
     """Uncertainty-minimizing gauge (reference ``selectOptimalGauge``,
     ``condensed_graph_buffer.cpp:252-288``): condense once per candidate
     gauge and pick the one whose labeled star has the smallest total
@@ -66,7 +67,7 @@ def select_gauge_optimal(g: PoseGraph, boundary: jax.Array,
     The reference loops K full marginalizations on the host; here it is
     one ``vmap`` — K dense solves batched on the MXU."""
     def total_uncertainty(cand):
-        star = condense(g, boundary, valid, cand, edge_mask)
+        star = condense(g, boundary, valid, cand, edge_mask, order)
         from cg_mrslam_tpu.core.graph import unpack_info
         omega = unpack_info(star.info)
         u = 1.0 / jnp.maximum(jnp.linalg.det(omega), 1e-30)
@@ -79,25 +80,33 @@ def select_gauge_optimal(g: PoseGraph, boundary: jax.Array,
 
 @jax.jit
 def condense(g: PoseGraph, boundary: jax.Array, valid: jax.Array,
-             gauge: jax.Array, edge_mask: jax.Array) -> Star:
+             gauge: jax.Array, edge_mask: jax.Array,
+             order: jax.Array | None = None) -> Star:
     """Build the labeled star (reference ``CondensedGraphCreator::compute``).
 
     ``edge_mask`` selects the edges to marginalize over — callers pass the
     own-edges mask (``core.graph.own_edge_mask``) to honor the
     double-counting rule. ``boundary`` is padded to a static K with
-    ``valid``.
+    ``valid``. ``order`` is the (owner, keyframe) slot permutation
+    (``solver.chain.chain_order``): the settle and the boundary
+    marginals go through the capacity-banded backends, which past
+    ``DENSE_MAX`` need it to take the chain fast path — the dense
+    [3N,3N] solve at that scale is f32 garbage on the chip (measured:
+    one exchange round of NaN star information matrices poisoned every
+    robot in the fleet).
     """
     n = g.poses.shape[0]
     # re-gauge: fix only the gauge vertex (graph_manipulator.cpp:90-114)
     regauged = dataclasses.replace(g, fixed=jax.nn.one_hot(gauge, n,
                                                            dtype=bool))
     # one GN settle on the selected edges (condensed_graph_creator.cpp:47-55)
-    regauged = gn.gn_step(regauged, edge_mask)
+    regauged = gn.optimize_auto(regauged, 1, edge_mask, order=order)
 
     z = se2.relative(regauged.poses[gauge], regauged.poses[boundary])
 
     # boundary marginals conditioned on the gauge  [K,3,3]
-    cov = gn.marginal_covariance(regauged, boundary, edge_mask)
+    cov = gn.marginal_covariance_auto(regauged, boundary, edge_mask,
+                                      order=order)
 
     # move covariance into the edge error frame: e = z⁻¹∘(x_g⁻¹ x_b), so at
     # zero error δe = J_b δx_b with J_b the standard SE(2) edge Jacobian

@@ -442,11 +442,17 @@ def build_star(st: MRState, peer, gauge_mode: str = "centroid",
     n_sel = jnp.sum(sel.astype(jnp.int32))
     g = st.slam.graph
     own = G.own_edge_mask(g, st.slam.my_id)
+    # (owner, keyframe) permutation: past DENSE_MAX capacity the settle
+    # + marginals inside condense need it to ride the chain fast path
+    # (the own-edge subgraph of a merged graph is never slot-adjacent)
+    from cg_mrslam_tpu.solver.chain import chain_order
+
+    order = chain_order(st.slam.v_owner, st.slam.v_remote, g.vmask)
     if gauge_mode == "optimal":
-        gauge = CG.select_gauge_optimal(g, slots, valid, own)
+        gauge = CG.select_gauge_optimal(g, slots, valid, own, order)
     else:
         gauge = CG.select_gauge_centroid(g, slots, valid)
-    star = CG.condense(g, slots, valid, gauge, own)
+    star = CG.condense(g, slots, valid, gauge, own, order)
     any_b = jnp.any(valid)
     return StarMsg(
         gauge=st.slam.v_remote[gauge],

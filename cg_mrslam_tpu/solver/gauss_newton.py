@@ -251,18 +251,23 @@ def marginal_covariance_auto(g: PoseGraph, query: jax.Array,
     banding as :func:`optimize_auto`: dense column solves up to
     ``DENSE_MAX`` capacity; above it, chain-preconditioned CG column
     solves (``solver.chain.marginal_covariance_chain``) when the graph
-    is covered, dense fallback otherwise — the covariance gate stops
-    being the last O(N³) stage of large-bucket keyframes."""
+    is covered, matrix-free block-Jacobi PCG otherwise — the covariance
+    gate stops being the last O(N³) stage of large-bucket keyframes.
+    The fallback is NOT dense: past ``DENSE_MAX`` the [3N,3N] inverse
+    produces f32 garbage on the chip (measured — NaN star information
+    matrices from ``mr.condensed.condense`` once poisoned both robots
+    of a fleet through one exchange round)."""
     n = g.poses.shape[-2]
     if n <= DENSE_MAX:
         return marginal_covariance(g, query, edge_mask)
     from cg_mrslam_tpu.solver import chain as CH
+    from cg_mrslam_tpu.solver.pcg import marginal_covariance_pcg
 
     return jax.lax.cond(
         CH.chainable(g, edge_mask, loop_cap=loop_cap, order=order),
         lambda gg: CH.marginal_covariance_chain(
             gg, query, edge_mask, loop_cap=loop_cap, order=order),
-        lambda gg: marginal_covariance(gg, query, edge_mask),
+        lambda gg: marginal_covariance_pcg(gg, query, edge_mask),
         g)
 
 

@@ -119,6 +119,72 @@ def pcg_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
     return x
 
 
+@partial(jax.jit, static_argnames=("cg_iters",))
+def marginal_covariance_pcg(g: PoseGraph, query: jax.Array,
+                            edge_mask: jax.Array | None = None,
+                            cg_iters: int = 160,
+                            tol: float = 1e-12) -> jax.Array:
+    """Marginal 3×3 covariance blocks ``[Q,3,3]`` via matrix-free PCG
+    column solves — the chip-safe fallback of
+    ``gauss_newton.marginal_covariance_auto`` for graphs past
+    ``DENSE_MAX`` that the chain path does not cover (the dense
+    [3N,3N] inverse at that scale both costs O(N³) and produces f32
+    garbage on the TPU — measured; a garbage marginal here once fed
+    NaN information matrices into condensed-star edges and poisoned a
+    whole multi-robot fleet state).
+
+    Matches the dense path's semantics: gauge from ``g.fixed``, the
+    same 1e-6 diagonal jitter, Σ read off the queried columns of H⁻¹.
+    Each of the 3Q unit columns is one block-Jacobi PCG solve sharing a
+    single linearization; ``vmap`` batches the edge-list matvecs."""
+    f = _factorize(g, edge_mask)
+    freeb = f.free[:, None]
+    eye = jnp.eye(3, dtype=g.poses.dtype)
+    diag = jnp.where(f.free[:, None, None], f.diag, eye) + 1e-6 * eye
+    Minv = jnp.linalg.inv(diag)
+    n = g.poses.shape[0]
+
+    def precond(r):
+        return jnp.einsum("nij,nj->ni", Minv, r) * freeb
+
+    def hvp(x):
+        # jittered like the dense path so a degenerate edge subset
+        # yields large-but-finite covariance, never NaN
+        return _hvp(g, f, x) + 1e-6 * x * freeb
+
+    def solve_col(qv, c):
+        rhs = (jnp.zeros((n, 3), g.poses.dtype).at[qv, c].set(1.0)
+               * freeb)
+
+        def body(state, _):
+            x, r, z, p, rz = state
+            hp = hvp(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
+            x2 = x + alpha * p
+            r2 = r - alpha * hp
+            z2 = precond(r2)
+            rz2 = jnp.sum(r2 * z2)
+            beta = rz2 / jnp.maximum(rz, 1e-30)
+            p2 = z2 + beta * p
+            done = jnp.sum(r * r) < tol
+            keep = lambda a, bb: jnp.where(done, a, bb)
+            return (keep(x, x2), keep(r, r2), keep(z, z2),
+                    keep(p, p2), jnp.where(done, rz, rz2)), None
+
+        z0 = precond(rhs)
+        (x, *_), _ = jax.lax.scan(
+            body, (jnp.zeros_like(rhs), rhs, z0, z0,
+                   jnp.sum(rhs * z0)), None, length=cg_iters)
+        return x[qv]
+
+    qs = jnp.repeat(query, 3)                        # [3Q]
+    cs = jnp.tile(jnp.arange(3), query.shape[0])     # [3Q]
+    cols = jax.vmap(solve_col)(qs, cs)               # [3Q, 3]
+    sig = cols.reshape(query.shape[0], 3, 3)         # [Q, c, row]
+    sig = jnp.swapaxes(sig, -1, -2)
+    return 0.5 * (sig + jnp.swapaxes(sig, -1, -2))
+
+
 @partial(jax.jit, static_argnames=("iterations", "cg_iters"))
 def optimize_pcg(g: PoseGraph, iterations: int = 5,
                  edge_mask: jax.Array | None = None,

@@ -135,3 +135,85 @@ def test_optimal_gauge_minimizes_uncertainty():
 
     us = {int(b): total_u(int(b)) for b in np.asarray(boundary)}
     assert np.isclose(us[best], min(us.values()), rtol=1e-4)
+
+
+def _merged_content(cap_n, cap_e, n_own=360, n_foreign=18, seed=3):
+    """Same merged-graph content (own chain + own closures + edgeless
+    foreign vertices, interleaved) at a configurable capacity."""
+    rng = np.random.default_rng(seed)
+    g = G.empty(cap_n, cap_e)
+    v_owner, v_remote = [], []
+    own_slots = []
+    kf = 0
+    step = max(2, (n_own + n_foreign) // max(n_foreign, 1))
+    poses = np.cumsum(rng.normal(0, 0.5, (n_own, 3))
+                      * [1.0, 0.4, 0.2], axis=0)
+    fi = 0
+    for k in range(n_own + n_foreign):
+        if fi < n_foreign and k % step == step - 1:
+            g = G.add_vertex(g, jnp.asarray(
+                rng.normal(0, 5.0, 3), jnp.float32))
+            v_owner.append(1)
+            v_remote.append(fi)
+            fi += 1
+        else:
+            g = G.add_vertex(g, jnp.asarray(poses[kf], jnp.float32),
+                             fixed=(kf == 0))
+            v_owner.append(0)
+            v_remote.append(kf)
+            own_slots.append(k)
+            kf += 1
+            if kf >= n_own:
+                break
+
+    def add(si, sj):
+        z = se2.relative(g.poses[si], g.poses[sj])
+        z = z + rng.normal(0, 0.01, 3).astype(np.float32)
+        info = np.diag(rng.uniform(50, 200, 3)).astype(np.float32)
+        return G.add_edge(g, si, sj, z, info, owner=0)
+
+    for a, b in zip(own_slots[:-1], own_slots[1:]):
+        g = add(a, b)
+    for _ in range(12):
+        i, j = rng.choice(len(own_slots), 2, replace=False)
+        g = add(own_slots[int(i)], own_slots[int(j)])
+    vo = np.zeros(cap_n, np.int32)
+    vr = np.zeros(cap_n, np.int32)
+    vo[:len(v_owner)] = v_owner
+    vr[:len(v_remote)] = v_remote
+    return g, jnp.asarray(vo), jnp.asarray(vr), own_slots
+
+
+def test_condense_chain_band_matches_dense_band():
+    """condense past DENSE_MAX capacity (chain-band settle + chain
+    marginals under the ownership permutation) must produce the same
+    star as the dense band on identical graph content — the chip-safety
+    rework (dense [3N,3N] at 1024 capacity is f32 garbage on TPU) may
+    not change semantics. Also pins that the own-edge subgraph of a
+    merged graph IS chainable under the permutation: edgeless foreign
+    vertices do not disqualify the fast path."""
+    from cg_mrslam_tpu.solver import chain as CH
+
+    gb, vo, vr, own_slots = _merged_content(1024, 4096)
+    gs, _, _, _ = _merged_content(512, 2048)
+    own_b = G.own_edge_mask(gb, 0)
+    own_s = G.own_edge_mask(gs, 0)
+    order = CH.chain_order(vo, vr, gb.vmask)
+    assert bool(CH.chainable(gb, own_b, loop_cap=64, order=order))
+
+    boundary = jnp.asarray([own_slots[5], own_slots[100],
+                            own_slots[250], own_slots[340]], jnp.int32)
+    valid = jnp.ones(4, bool)
+    gauge = CG.select_gauge_centroid(gb, boundary, valid)
+    star_b = CG.condense(gb, boundary, valid, gauge, own_b, order)
+    star_s = CG.condense(gs, boundary, valid, gauge, own_s)
+
+    np.testing.assert_array_equal(np.asarray(star_b.valid),
+                                  np.asarray(star_s.valid))
+    np.testing.assert_allclose(np.asarray(star_b.z),
+                               np.asarray(star_s.z),
+                               rtol=1e-3, atol=1e-3)
+    keep = np.asarray(star_b.valid)
+    np.testing.assert_allclose(np.asarray(star_b.info)[keep],
+                               np.asarray(star_s.info)[keep],
+                               rtol=0.05, atol=0.05)
