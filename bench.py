@@ -56,6 +56,20 @@ FIXTURE = Path(__file__).parent / "tests/fixtures/merged_2robot_1024.npz"
 # that cliff regardless of the configured budget.
 CHAIN_KW = dict(loop_cap=64, cg_iters=24, cg_tol=1e-4)
 
+# Merged-workload operating point (chain-preconditioned PCG budget).
+# The REAL protocol snapshot is NOT chainable: 334 inter-robot closure
+# edges + 15 condensed-star edges + 14 own loop closures = 363
+# loop-class edges under the (owner, keyframe) permutation — far past
+# any practical Woodbury cap (the capacitance solve would be [1152²]
+# per graph per GN iteration). The exact solver for this structure is
+# CG on the TRUE Hessian with the permuted chain-tridiagonal
+# preconditioner (solver/pcg.py:_tridiag_precond) — no truncation, no
+# dropped edges, dense-parity measured: dense 12.796 vs pcg cg24
+# 12.812 / cg48 12.807 on fixture element 0 (CPU oracle). Budget
+# picked by the committed merged sweep (artifacts/
+# chain_sweep_merged.json, tools/profile_chain3.py sweep-merged).
+MERGED_PCG_ITERS = 24
+
 
 def build_hospital_batch(batch: int, n: int = 1024, closures: int = 48,
                          seed: int = 0) -> G.PoseGraph:
@@ -170,27 +184,44 @@ def timed(fn, g, reps: int = 4):
 
 
 def bench_merged(batch: int = 512):
-    """HEADLINE: the true 2-robot merged graph, chain+Woodbury under the
-    ownership permutation. Asserts the fast path is actually taken
-    (chainable), nothing was truncated (dropped == 0), and the solve is
-    honest (chi2 collapse)."""
+    """HEADLINE: the true 2-robot merged graph (committed protocol
+    snapshot), solved by the backend the auto band actually selects for
+    it. The snapshot is NOT chainable (334 inter-robot closures — see
+    MERGED_PCG_ITERS above), so the exact solver is chain-preconditioned
+    PCG on the true Hessian under the ownership permutation. Asserts
+    the backend selection is what this bench reports (auto_backend ==
+    PCG — a future chainable fixture must flip this bench to the chain
+    path, never silently mislabel), that the solved system is the FULL
+    edge set (PCG never truncates — loop_count documents the structure),
+    and that the solve is honest (chi2 collapses to the dense-oracle
+    basin; dense CPU oracle on element 0: 12.796)."""
     from cg_mrslam_tpu.core.linearize import chi2
     from cg_mrslam_tpu.solver import chain as CH
+    from cg_mrslam_tpu.solver import gauss_newton as gn
+    from cg_mrslam_tpu.solver.pcg import optimize_pcg
 
     g, order, meta = build_merged_batch(batch)
     g0 = jax.tree_util.tree_map(lambda a: a[0], g)
-    assert bool(CH.chainable(g0, loop_cap=CHAIN_KW["loop_cap"],
-                             order=order)), \
-        "merged fixture must take the chain fast path"
+    backend = int(gn.auto_backend(g0, loop_cap=64, order=order))
+    assert backend == 2, \
+        f"auto band now selects backend {backend}; re-point the bench"
+    # document WHY the chain fast path cannot fire on the real protocol
+    # graph: count loop-class edges under the permutation
+    from cg_mrslam_tpu.core.graph import permute_vertices
+
+    is_chain, is_loop = CH.chain_masks(permute_vertices(g0, order))
+    meta["loop_class_edges"] = int(np.sum(np.asarray(is_loop)))
+    meta["chain_class_edges"] = int(np.sum(np.asarray(is_chain)))
 
     step = jax.jit(jax.vmap(
-        lambda gg: CH.optimize_chain(gg, iterations=5, order=order,
-                                     return_dropped=True, **CHAIN_KW)))
-    dt, (out, dropped) = timed(step, g)
-    assert int(np.max(np.asarray(dropped))) == 0, "loop_cap truncated"
+        lambda gg: optimize_pcg(gg, iterations=5, order=order,
+                                cg_iters=MERGED_PCG_ITERS)))
+    dt, out = timed(step, g)
     c0 = float(jax.vmap(chi2)(g).mean())
     c1 = float(jax.vmap(chi2)(out).mean())
-    assert np.isfinite(c1) and c1 < 0.05 * c0, (c0, c1)  # honest solves
+    # the fixture's own residual floor is ~12.8 (dense oracle) out of
+    # ~34k start — require landing in that basin, not just "improved"
+    assert np.isfinite(c1) and c1 < 1e-3 * c0, (c0, c1)  # honest solves
     return batch / dt, dt, c0, c1, meta
 
 
@@ -306,9 +337,15 @@ def main():
     if not FIXTURE.exists():
         # the merged fixture is generated on-chip by
         # tools/make_bench_fixture.py; without it fall back to the
-        # single-robot-shaped row, clearly labeled (never a silent swap)
+        # single-robot-shaped row, clearly labeled (never a silent
+        # swap). The GUARDED rows (toy, dense, PCG-64k) still run — a
+        # fallback round must never record fewer verified capabilities
+        # than its predecessor (VERDICT r03 item 8).
         solves_s, dt, c0, c1 = bench_hospital()
         p50, p99, n_kf, n_excl, floor_ms = bench_keyframe_latency()
+        toy = bench_toy()
+        dense = bench_dense_reference_point()
+        pcg_dt, pc0, pc1 = bench_pcg_64k()
         print(json.dumps({
             "metric": "hospital_scale_graph_solves_per_s",
             "value": round(solves_s, 1),
@@ -327,6 +364,12 @@ def main():
                     "compile_excluded_events": n_excl,
                     "dispatch_floor_ms": round(floor_ms, 1),
                     "vs_50ms_target": round(50.0 / max(p99, 1e-9), 2)},
+                "toy_40pose_solves_per_s": round(toy, 1),
+                "dense_solver_same_scale_solves_per_s": round(dense, 1),
+                "chain_vs_dense_speedup": round(
+                    solves_s / max(dense, 1e-9), 1),
+                "pcg_65536_pose_gn5_s": round(pcg_dt, 2),
+                "pcg_65536_chi2_drop": [round(pc0, 1), round(pc1, 2)],
             },
         }))
         return
@@ -349,8 +392,10 @@ def main():
         "value": round(solves_s, 1),
         "unit": (f"solves/s ({meta['n_vertices']}-vertex 2-robot merged "
                  f"graph, {meta['n_edges']} edges, "
-                 f"{meta['foreign_vertices']} foreign vertices, GN x5 "
-                 "chain+Woodbury under ownership permutation, batch 512, "
+                 f"{meta['foreign_vertices']} foreign vertices, "
+                 f"{meta.get('loop_class_edges', '?')} loop-class edges "
+                 "(not chainable), GN x5 chain-preconditioned PCG on the "
+                 "FULL edge set under ownership permutation, batch 512, "
                  "1 chip; vs_baseline is the RAW ratio vs the 16-chip "
                  "1000 solves/s target)"),
         "vs_baseline": round(solves_s / 1000.0, 4),
@@ -358,7 +403,12 @@ def main():
             "vs_per_chip_share_62_5": round(solves_s / 62.5, 3),
             "merged_batch_ms": round(dt * 1e3, 1),
             "merged_chi2_drop": [round(c0, 2), round(c1, 4)],
-            "chain_operating_point": {k: v for k, v in CHAIN_KW.items()},
+            "merged_backend": "pcg+permuted-chain-precond "
+                              f"cg{MERGED_PCG_ITERS}",
+            "merged_structure": {
+                k: meta[k] for k in ("chain_class_edges",
+                                     "loop_class_edges") if k in meta},
+            "chain_operating_point_hospital_row": dict(CHAIN_KW),
             "keyframe_latency_ms": {
                 "p50": round(p50, 1), "p99": round(p99, 1),
                 "keyframes": n_kf,

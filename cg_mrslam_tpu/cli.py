@@ -309,6 +309,30 @@ def _run_udp_node(a):
     if a.record_pings:
         node.save_pings(a.record_pings)
         print(f"wrote {a.record_pings}")
+    if a.stats_json:
+        import json
+
+        import jax
+
+        g = node.state.slam.graph
+        out = dict(
+            node.stats, robot=r, n_robots=a.nRobots,
+            backend=jax.default_backend(),
+            transport="native" if transport.native else "python",
+            n_vertices=int(g.n_vertices), n_edges=int(g.n_edges),
+            foreign_vertices=int(np.sum(
+                np.asarray(g.vmask)
+                & (np.asarray(node.state.slam.v_owner) != r))),
+            inter_robot_accepted=int(
+                np.asarray(node.state.out_closures).sum()),
+            condensed_star_edges_in=int(np.sum(
+                np.asarray(g.emask)
+                & (np.asarray(g.e_level) > 0)
+                & (np.asarray(g.e_owner) != r))),
+            wall_s=round(time.time() - t_wall, 1))
+        with open(a.stats_json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {a.stats_json}")
     _save_outputs(a.o, node.state.slam, cfg, a, robot_id=r)
     node.close()
     return 0
@@ -342,6 +366,10 @@ def cmd_cg_mrslam(argv):
                    help="JSONL log of every sent/received SLAM message "
                         "(the reference's REAL-modality message "
                         "republishing, ros_handler.cpp:174-179)")
+    p.add_argument("--stats-json", default=None,
+                   help="write end-of-run node stats (keyframes, "
+                        "closures, bytes, capacity counters) as JSON "
+                        "— the committable multi-robot run artifact")
     a = p.parse_args(argv)
 
     if a.idRobot >= 0:

@@ -533,6 +533,32 @@ def _pst_fact(pst: _PrecondState) -> dict:
             "n": n, "m": m, "n3": n3, "group": group}
 
 
+def _freeze_diverged(c_old: jax.Array, c_new: jax.Array) -> jax.Array:
+    """Recovery predicate for the frozen-preconditioner lever: True
+    when a GN iteration under a stale M made chi2 materially WORSE.
+    GN is not strictly monotone (a legitimate iteration can overshoot
+    slightly near convergence), so the cut is generous — 4× growth
+    plus an absolute slack — while the measured chip failure mode
+    (chi2 6.2e4 → 8.5e7 across iterations) exceeds it by orders of
+    magnitude. NaN-safe by the negated-``<=`` form: a non-finite new
+    chi2 always triggers recovery."""
+    return ~(c_new <= 4.0 * c_old + 1.0)
+
+
+def _select_cg_iterate(x_fin: jax.Array, rr2_fin: jax.Array,
+                       x_best: jax.Array, rr2_best: jax.Array) -> jax.Array:
+    """CG exit selection: the FINAL iterate unless it is clearly worse
+    (>4× in residual 2-norm) than the best tracked one — see the
+    breakdown-cliff discussion at the call site. NaN-safe by
+    construction: the negated ``<=`` predicate treats ANY non-finite
+    final residual (a diverging f32 CG runs until rr2 hits inf/NaN,
+    which also exits the while_loop since NaN comparisons are False)
+    as breakdown and returns the tracked best iterate instead of the
+    poisoned final one."""
+    broke = ~(rr2_fin <= 4.0 * rr2_best)           # breakdown, not noise
+    return jnp.where(broke, x_best, x_fin)
+
+
 def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
                       cg_tol: float = 1e-6, cg_iters: int = 48,
                       damp: float = 1e-3,
@@ -656,8 +682,7 @@ def _chain_delta_impl(g: PoseGraph, edge_mask, loop_cap: int,
         cond, body,
         (jnp.int32(0), x, r, z, jnp.sum(r * z), rr2, x, rr2))
     _, x_fin, _, _, _, rr2_fin, x_best, rr2_best = out
-    broke = rr2_fin > 4.0 * rr2_best               # breakdown, not noise
-    dx = jnp.where(broke, x_best, x_fin)
+    dx = _select_cg_iterate(x_fin, rr2_fin, x_best, rr2_best)
     dx = dx * td.free[:, None].astype(dx.dtype)
     return dx, dropped
 
@@ -695,7 +720,11 @@ def optimize_chain(g: PoseGraph, iterations: int = 5,
       differentiator, the same failure class as the round-2 undamped
       factor-and-correct NaN. Default OFF; kept as an explicit lever
       for small-graph callers (the setup is 63% of the per-iteration
-      cost) with the caveat measured above."""
+      cost). GUARDED since round 4: every frozen GN iteration is
+      chi2-checked (:func:`_freeze_diverged`, NaN-safe) and a
+      diverging iteration is redone with a fresh preconditioner — the
+      lever can no longer silently blow up, it degrades to
+      per-iteration setup."""
     if order is not None:
         from cg_mrslam_tpu.core.graph import (
             inverse_permutation, permute_vertices,
@@ -732,7 +761,33 @@ def optimize_chain(g: PoseGraph, iterations: int = 5,
                 gg, edge_mask, loop_cap, cg_tol=cg_tol,
                 cg_iters=cg_iters, damp=damp, pst=pst,
                 cg_iter_bound=ci)
-            gg = dataclasses.replace(gg, poses=se2.oplus(gg.poses, dx))
+            g_new = dataclasses.replace(gg,
+                                        poses=se2.oplus(gg.poses, dx))
+            if pst is not None:
+                # Divergence guard on the frozen-preconditioner lever
+                # (VERDICT r03 item 6): on chip a stale M diverges at
+                # hospital scale (measured chi2 6.2e4 → 8.5e7 across GN
+                # iterations, every frozen schedule variant). Any GN
+                # iteration whose chi2 fails the recovery predicate
+                # (:func:`_freeze_diverged`, NaN-safe) is REDONE with a
+                # freshly assembled preconditioner — the guarded lever
+                # degrades to per-iteration setup instead of blowing up.
+                from cg_mrslam_tpu.core.linearize import chi2 as _c2
+
+                def redo(op):
+                    gg2, ci2 = op
+                    dx2, dr2 = _chain_delta_impl(
+                        gg2, edge_mask, loop_cap, cg_tol=cg_tol,
+                        cg_iters=cg_iters, damp=damp, pst=None,
+                        cg_iter_bound=ci2)
+                    return (dataclasses.replace(
+                        gg2, poses=se2.oplus(gg2.poses, dx2)), dr2)
+
+                bad = _freeze_diverged(_c2(gg, edge_mask),
+                                       _c2(g_new, edge_mask))
+                g_new, dropped = jax.lax.cond(
+                    bad, redo, lambda op: (g_new, dropped), (gg, ci))
+            gg = g_new
             return (gg, jnp.maximum(dmax, dropped)), None
 
         (g, dmax), _ = jax.lax.scan(body, (g, jnp.int32(0)), sched)
@@ -841,8 +896,8 @@ def marginal_covariance_chain(g: PoseGraph, query: jax.Array,
                 cond, body,
                 (jnp.int32(0), x, r, z, jnp.sum(r * z), rr2, x, rr2))
             _, x_fin, _, _, _, rr2_fin, x_best, rr2_best = out
-            # final iterate unless a genuine breakdown (see chain_delta)
-            xo = jnp.where(rr2_fin > 4.0 * rr2_best, x_best, x_fin)
+            # final iterate unless a genuine breakdown (NaN-safe)
+            xo = _select_cg_iterate(x_fin, rr2_fin, x_best, rr2_best)
             return xo[qv]                      # [3] = Σ[:, c] at vertex q
 
         qs = jnp.repeat(query, 3)                        # [3Q]

@@ -205,7 +205,8 @@ def auto_backend(g: PoseGraph, edge_mask: jax.Array | None = None,
 def optimize_auto(g: PoseGraph, iterations: int = 5,
                   edge_mask: jax.Array | None = None,
                   loop_cap: int = 64,
-                  order: jax.Array | None = None) -> PoseGraph:
+                  order: jax.Array | None = None,
+                  pcg_iters: int = 96) -> PoseGraph:
     """``optimize`` with a scale-appropriate backend.
 
     Static capacity picks the band; inside the chain band a runtime
@@ -224,7 +225,7 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
         from cg_mrslam_tpu.solver.pcg import optimize_pcg
 
         return optimize_pcg(g, iterations=iterations, edge_mask=edge_mask,
-                            cg_iters=96)
+                            cg_iters=pcg_iters, order=order)
     if n <= DENSE_MAX:
         return optimize(g, iterations, edge_mask)
     from cg_mrslam_tpu.solver import chain as CH
@@ -232,14 +233,17 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
 
     # Non-chainable fallback is PCG, not dense — see auto_backend: the
     # dense inverse past DENSE_MAX is the O(N^3) this band avoids AND
-    # diverges on the chip at this scale (f32 garbage, measured).
+    # diverges on the chip at this scale (f32 garbage, measured). The
+    # permutation rides along: PCG's tridiagonal preconditioner keys on
+    # slot-adjacent edges exactly like the chain solver.
     return jax.lax.cond(
         CH.chainable(g, edge_mask, loop_cap=loop_cap, order=order),
         lambda gg: CH.optimize_chain(gg, iterations=iterations,
                                      edge_mask=edge_mask,
                                      loop_cap=loop_cap, order=order),
         lambda gg: optimize_pcg(gg, iterations=iterations,
-                                edge_mask=edge_mask, cg_iters=96),
+                                edge_mask=edge_mask, cg_iters=pcg_iters,
+                                order=order),
         g)
 
 
@@ -267,7 +271,8 @@ def marginal_covariance_auto(g: PoseGraph, query: jax.Array,
         CH.chainable(g, edge_mask, loop_cap=loop_cap, order=order),
         lambda gg: CH.marginal_covariance_chain(
             gg, query, edge_mask, loop_cap=loop_cap, order=order),
-        lambda gg: marginal_covariance_pcg(gg, query, edge_mask),
+        lambda gg: marginal_covariance_pcg(gg, query, edge_mask,
+                                           order=order),
         g)
 
 

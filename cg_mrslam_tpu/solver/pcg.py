@@ -63,6 +63,60 @@ def _factorize(g: PoseGraph, edge_mask: jax.Array | None) -> EdgeFactors:
     return EdgeFactors(Ji=Ji, Jj=Jj, omega=omega, b=b, diag=diag, free=free)
 
 
+def _tridiag_precond(g: PoseGraph, f: EdgeFactors, damp: float = 1e-3):
+    """Damped (chain-tridiagonal + full-diagonal) preconditioner.
+
+    Block-Jacobi is a poor preconditioner for pose graphs: the dominant
+    structure is a long odometry chain whose condition number grows
+    ~N², so unit-column marginal solves needed ~1280 CG iterations at
+    550 poses (measured — the auto band's parity test caught it). The
+    fix reuses the chain solver's cyclic-reduction factorization
+    (``solver/chain.py:_cr_factor``) on
+
+        T = (full Hessian diagonal blocks) + (adjacent-slot chain
+            off-diagonal blocks) + λI,     λ = damp·mean-diag
+
+    solved in O(N) work / O(log N) depth per application. T is SPD
+    (chain part PSD + loop diagonal contributions PSD + λI) and exact
+    for pure chains; with no adjacent-slot edges it degrades to damped
+    block-Jacobi — never worse. Measured on the 550-pose ring at the
+    default 160-iteration budget: marginal max|Δ| vs dense 2.6e-4
+    (block-Jacobi: 0.34, needing ~1280 iterations for the same).
+
+    Returns ``precond(r) -> [N,3]``.
+    """
+    from cg_mrslam_tpu.solver.chain import GROUP, _cr_apply, _cr_factor
+
+    n = g.poses.shape[0]
+    dtype = g.poses.dtype
+    vi, vj = g.e_ij[:, 0], g.e_ij[:, 1]
+    eye = jnp.eye(3, dtype=dtype)
+    free = f.free
+    freeb = free[:, None]
+    diag_free = jnp.where(free[:, None, None], f.diag, 0.0)
+    diag_scale = jnp.einsum("nii->", diag_free) / jnp.maximum(
+        3.0 * jnp.sum(free.astype(dtype)), 1.0)
+    lam = damp * diag_scale + 1e-6
+    D = jnp.where(free[:, None, None], f.diag + lam * eye, eye)
+
+    # chain off-diagonals: adjacent-slot edges with both ends free
+    # (f.omega is already zeroed on masked edges)
+    cm = ((vj == vi + 1) & free[vi] & free[vj]).astype(dtype)
+    Hij = jnp.einsum("eki,ekl,elm->eim", f.Ji, f.omega, f.Jj) \
+        * cm[:, None, None]
+    L = jnp.zeros((n, 3, 3), dtype).at[vi].add(
+        jnp.swapaxes(Hij, -1, -2))
+    L = L.at[n - 1].set(0.0)
+
+    fact = _cr_factor(D, L, group=GROUP)
+
+    def precond(r):
+        x = _cr_apply(fact, (r * freeb)[:, :, None])[..., 0]
+        return x * freeb
+
+    return precond
+
+
 def _hvp(g: PoseGraph, f: EdgeFactors, x: jax.Array) -> jax.Array:
     """H @ x as gathers + scatter-add; ``x`` is ``[N, 3]`` (free coords)."""
     vi, vj = g.e_ij[:, 0], g.e_ij[:, 1]
@@ -80,19 +134,14 @@ def _hvp(g: PoseGraph, f: EdgeFactors, x: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=("cg_iters",))
 def pcg_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
               cg_iters: int = 64, tol: float = 1e-8) -> jax.Array:
-    """One GN update direction ``dx [N,3]`` via block-Jacobi PCG."""
+    """One GN update direction ``dx [N,3]`` via chain-preconditioned PCG
+    (:func:`_tridiag_precond`; CG iterates on the TRUE Hessian, so the
+    preconditioner's dropped loop edges never bias the solution)."""
     f = _factorize(g, edge_mask)
     freeb = f.free[:, None]
-    # block-Jacobi preconditioner: invert 3x3 diagonal blocks (identity on
-    # pinned vertices)
-    eye = jnp.eye(3, dtype=g.poses.dtype)
-    diag = jnp.where(f.free[:, None, None], f.diag, eye) + 1e-6 * eye
-    Minv = jnp.linalg.inv(diag)
+    precond = _tridiag_precond(g, f)
 
     b = -f.b * freeb
-
-    def precond(r):
-        return jnp.einsum("nij,nj->ni", Minv, r) * freeb
 
     x0 = jnp.zeros_like(b)
     r0 = b  # x0 = 0 ⇒ r = b
@@ -123,7 +172,8 @@ def pcg_delta(g: PoseGraph, edge_mask: jax.Array | None = None,
 def marginal_covariance_pcg(g: PoseGraph, query: jax.Array,
                             edge_mask: jax.Array | None = None,
                             cg_iters: int = 160,
-                            tol: float = 1e-12) -> jax.Array:
+                            tol: float = 1e-12,
+                            order: jax.Array | None = None) -> jax.Array:
     """Marginal 3×3 covariance blocks ``[Q,3,3]`` via matrix-free PCG
     column solves — the chip-safe fallback of
     ``gauss_newton.marginal_covariance_auto`` for graphs past
@@ -135,17 +185,29 @@ def marginal_covariance_pcg(g: PoseGraph, query: jax.Array,
 
     Matches the dense path's semantics: gauge from ``g.fixed``, the
     same 1e-6 diagonal jitter, Σ read off the queried columns of H⁻¹.
-    Each of the 3Q unit columns is one block-Jacobi PCG solve sharing a
-    single linearization; ``vmap`` batches the edge-list matvecs."""
+    Each of the 3Q unit columns is one chain-preconditioned PCG solve
+    (:func:`_tridiag_precond` — unit-column rhs is the hardest case for
+    block-Jacobi: information must propagate the whole chain, ~1280
+    iterations at 550 poses where the chain preconditioner reaches
+    2.6e-4 max|Δ| within the default budget) sharing a single
+    linearization + factorization; ``vmap`` batches the edge-list
+    matvecs. ``order`` — see :func:`optimize_pcg` (the marginal Σ
+    blocks are slot-invariant; only the preconditioner's chain
+    detection needs the permutation)."""
+    if order is not None:
+        from cg_mrslam_tpu.core.graph import (
+            inverse_permutation, permute_vertices,
+        )
+
+        inv = inverse_permutation(order)
+        return marginal_covariance_pcg(permute_vertices(g, order),
+                                       inv[query], edge_mask, cg_iters,
+                                       tol)
     f = _factorize(g, edge_mask)
     freeb = f.free[:, None]
     eye = jnp.eye(3, dtype=g.poses.dtype)
-    diag = jnp.where(f.free[:, None, None], f.diag, eye) + 1e-6 * eye
-    Minv = jnp.linalg.inv(diag)
     n = g.poses.shape[0]
-
-    def precond(r):
-        return jnp.einsum("nij,nj->ni", Minv, r) * freeb
+    precond = _tridiag_precond(g, f)
 
     def hvp(x):
         # jittered like the dense path so a degenerate edge subset
@@ -182,14 +244,41 @@ def marginal_covariance_pcg(g: PoseGraph, query: jax.Array,
     cols = jax.vmap(solve_col)(qs, cs)               # [3Q, 3]
     sig = cols.reshape(query.shape[0], 3, 3)         # [Q, c, row]
     sig = jnp.swapaxes(sig, -1, -2)
+    # Dense-path semantics for pinned/fixed queried vertices: the dense
+    # inverse has ~identity blocks there (gauge rows are replaced by I
+    # before inversion), while the masked rhs/hvp here would yield an
+    # all-zero block — which turns the pipeline's covariance gate
+    # singular (NaN d²) and silently rejects candidates the dense band
+    # accepts. Substitute the identity block for non-free queries.
+    sig = jnp.where(f.free[query][:, None, None], sig, eye)
     return 0.5 * (sig + jnp.swapaxes(sig, -1, -2))
 
 
 @partial(jax.jit, static_argnames=("iterations", "cg_iters"))
 def optimize_pcg(g: PoseGraph, iterations: int = 5,
                  edge_mask: jax.Array | None = None,
-                 cg_iters: int = 64) -> PoseGraph:
-    """GN iterations with PCG inner solves (large-graph ``optimize``)."""
+                 cg_iters: int = 64,
+                 order: jax.Array | None = None) -> PoseGraph:
+    """GN iterations with PCG inner solves (large-graph ``optimize``).
+
+    ``order`` (optional) applies a slot permutation before solving and
+    undoes it after — CG itself is permutation-invariant, but the
+    tridiagonal preconditioner (:func:`_tridiag_precond`) keys on
+    slot-ADJACENT edges, so on merged multi-robot graphs the
+    (owner, keyframe) permutation (``solver.chain.chain_order``) turns
+    the interleaved own-odometry edges back into the preconditioner's
+    chain. Measured on the real merged 2-robot fixture: the permutation
+    is the difference between block-Jacobi-grade convergence and
+    chain-grade convergence at equal iteration budget."""
+    if order is not None:
+        from cg_mrslam_tpu.core.graph import (
+            inverse_permutation, permute_vertices,
+        )
+
+        inv = inverse_permutation(order)
+        gp = optimize_pcg(permute_vertices(g, order), iterations,
+                          edge_mask, cg_iters)
+        return dataclasses.replace(g, poses=gp.poses[inv])
 
     def body(gg, _):
         dx = pcg_delta(gg, edge_mask, cg_iters=cg_iters)

@@ -267,3 +267,37 @@ def test_regauged_chain_marginals_match_dense():
     fast = CH.marginal_covariance_chain(regauged, reps, order=order)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(dense),
                                rtol=2e-2, atol=2e-4)
+
+
+def test_real_fixture_auto_band_and_pcg_parity():
+    """The COMMITTED protocol snapshot (tests/fixtures/
+    merged_2robot_1024.npz, generated on chip by
+    tools/make_bench_fixture.py from a real MultiRobotSim run) is NOT
+    chainable — 334 inter-robot closures + 15 star + 14 own-loop edges
+    under the permutation, far past any practical Woodbury cap. Pins:
+    (a) the auto band routes it to the PCG backend, (b) the
+    chain-preconditioned PCG at the bench operating point lands in the
+    dense-oracle basin (dense CPU f32 on element 0: chi2 33857 ->
+    12.796015, measured 2026-08-20; re-derive with
+    solver.gauss_newton.optimize if the fixture is regenerated)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, ".")
+    import bench
+    from cg_mrslam_tpu.solver import gauss_newton as gn
+    from cg_mrslam_tpu.solver.pcg import optimize_pcg
+
+    if not bench.FIXTURE.exists():
+        pytest.skip("merged fixture not generated")
+    g, order, meta = bench.build_merged_batch(2)
+    g0 = jax.tree_util.tree_map(lambda a: a[0], g)
+    assert not bool(CH.chainable(g0, loop_cap=64, order=order))
+    assert int(gn.auto_backend(g0, loop_cap=64, order=order)) == 2
+    out = optimize_pcg(g0, iterations=5, order=order,
+                       cg_iters=bench.MERGED_PCG_ITERS)
+    c0, c1 = float(chi2(g0)), float(chi2(out))
+    ORACLE = 12.796015
+    assert np.isfinite(c1)
+    assert c1 < 1e-3 * c0, (c0, c1)
+    assert c1 < 1.05 * ORACLE, (c1, ORACLE)

@@ -193,3 +193,83 @@ def test_bench_geometry_f32_convergence():
     c1 = float(chi2(out))
     assert np.isfinite(c1)
     assert c1 < 1e-4 * c0, (c0, c1)
+
+
+def test_cg_exit_selector_nan_safe():
+    """ADVICE r03 (medium): a diverging f32 CG exits the while_loop with
+    rr2_fin = inf/NaN (NaN comparisons are False). The selector must
+    treat ANY non-finite final residual as breakdown and return the
+    tracked best iterate — the plain `>` predicate is False on NaN and
+    would return the poisoned final iterate."""
+    from cg_mrslam_tpu.solver.chain import _select_cg_iterate
+
+    xb = jnp.ones((4, 3), jnp.float32)
+    x_nan = jnp.full((4, 3), jnp.nan, jnp.float32)
+    for bad in (np.nan, np.inf):
+        out = _select_cg_iterate(x_nan, jnp.float32(bad), xb,
+                                 jnp.float32(1.0))
+        np.testing.assert_array_equal(np.asarray(out), 1.0)
+    # noise-level oscillation (final within 4x of best): keep FINAL
+    out = _select_cg_iterate(2 * xb, jnp.float32(3.0), xb,
+                             jnp.float32(1.0))
+    np.testing.assert_array_equal(np.asarray(out), 2.0)
+    # genuine finite breakdown (>4x): fall back to best
+    out = _select_cg_iterate(2 * xb, jnp.float32(5.0), xb,
+                             jnp.float32(1.0))
+    np.testing.assert_array_equal(np.asarray(out), 1.0)
+
+
+def test_cg_budget_overshoot_is_safe():
+    """VERDICT r03 item 5: f32 CG sits at a breakdown cliff past ~24
+    iterations on the hospital problem (measured on chip: cg32 and cg48
+    DEGRADE vs cg24). Best-iterate selection must make every budget
+    safe — overshooting wastes time, never accuracy: deeper budgets stay
+    finite and never land far above the shallow-budget chi2."""
+    import sys
+    sys.path.insert(0, ".")
+    from bench import build_hospital_batch
+
+    g = jax.tree_util.tree_map(lambda a: a[0], build_hospital_batch(1))
+    c0 = float(chi2(g))
+    ref = float(chi2(CH.optimize_chain(g, iterations=5, cg_iters=24,
+                                       cg_tol=1e-4, loop_cap=64)))
+    assert ref < 1e-4 * c0
+    for it in (48, 96):
+        c = float(chi2(CH.optimize_chain(g, iterations=5, cg_iters=it,
+                                         cg_tol=1e-4, loop_cap=64)))
+        assert np.isfinite(c), it
+        # never catastrophic: within a modest factor of the shallow
+        # budget or below an absolute floor (chip cliff measured 0.1035
+        # at cg24 vs 130 at cg32 pre-selection)
+        assert c <= max(10.0 * ref, 1e-3 * c0), (it, c, ref)
+
+
+def test_freeze_precond_guard():
+    """VERDICT r03 item 6: ``freeze_precond=True`` diverges on chip at
+    hospital scale; the guard must make the lever safe. Pins (a) the
+    NaN-safe recovery predicate and (b) that the guarded lever still
+    converges end-to-end at hospital scale (CPU: recovery may or may
+    not fire, but the result must always be finite and collapsed)."""
+    from cg_mrslam_tpu.solver.chain import _freeze_diverged
+
+    # predicate: catastrophic growth and non-finite chi2 trigger; a
+    # mild overshoot does not
+    assert bool(_freeze_diverged(jnp.float32(6.2e4), jnp.float32(8.5e7)))
+    assert bool(_freeze_diverged(jnp.float32(1.0), jnp.float32(jnp.nan)))
+    assert bool(_freeze_diverged(jnp.float32(1.0), jnp.float32(jnp.inf)))
+    assert not bool(_freeze_diverged(jnp.float32(100.0),
+                                     jnp.float32(150.0)))
+    assert not bool(_freeze_diverged(jnp.float32(1e-6),
+                                     jnp.float32(2e-6)))
+
+    import sys
+    sys.path.insert(0, ".")
+    from bench import build_hospital_batch
+
+    g = jax.tree_util.tree_map(lambda a: a[0], build_hospital_batch(1))
+    c0 = float(chi2(g))
+    out = CH.optimize_chain(g, iterations=5, freeze_precond=True,
+                            cg_iters=24, cg_tol=1e-4, loop_cap=64)
+    c1 = float(chi2(out))
+    assert np.isfinite(c1)
+    assert c1 < 1e-3 * c0, (c0, c1)

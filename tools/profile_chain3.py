@@ -111,17 +111,66 @@ def main():
                     f"sch{kw['cg_schedule']}")
             _report_point(name, g, B, kw)
 
+    if "sweep-merged" in which:
+        # VERDICT r03 item 5: re-derive the CHAIN_KW operating point on
+        # the workload it serves (the merged 2-robot fixture), and leave
+        # a committed artifact so the choice is re-derivable. Writes
+        # artifacts/chain_sweep_merged.json.
+        import json
+
+        from bench import build_merged_batch
+
+        from cg_mrslam_tpu.solver.pcg import optimize_pcg
+
+        gm, order, meta = build_merged_batch(B)
+        c0 = float(np.asarray(jax.vmap(chi2)(gm)).mean())
+        print(f"merged fixture: {meta}  chi2 start {c0:.1f}", flush=True)
+        # The real protocol snapshot is NOT chainable (363 loop-class
+        # edges under the permutation — 334 inter-robot closures), so
+        # the operating point being swept is the chain-preconditioned
+        # PCG budget that bench.MERGED_PCG_ITERS commits to. Dense CPU
+        # oracle on fixture element 0: chi2 33857 -> 12.796.
+        rows = []
+        for kw in (dict(cg_iters=12), dict(cg_iters=16),
+                   dict(cg_iters=24), dict(cg_iters=48),
+                   dict(cg_iters=96)):
+            def gn5m(gg, kw=kw):
+                return optimize_pcg(gg, 5, order=order, **kw)
+
+            ms, w = timed(jax.jit(jax.vmap(
+                lambda gg: gn5m(gg).poses.sum())), gm)
+            out = jax.jit(jax.vmap(gn5m))(jax.block_until_ready(gm))
+            cs = np.asarray(jax.vmap(chi2)(out))
+            row = dict(kw, batch_ms=round(ms, 1),
+                       solves_per_s=round(B / ms * 1e3, 1),
+                       chi2_mean=float(cs.mean()),
+                       chi2_max=float(cs.max()))
+            rows.append(row)
+            print(row, flush=True)
+        art = Path(__file__).resolve().parents[1] / \
+            "artifacts/chain_sweep_merged.json"
+        art.parent.mkdir(exist_ok=True)
+        art.write_text(json.dumps(
+            {"workload": ("merged_2robot_1024 batch 512, GN5, "
+                          "chain-preconditioned PCG (order=permutation) "
+                          "on the full edge set"),
+             "dense_oracle_elem0_chi2": 12.796015,
+             "chi2_start_mean": c0, "meta": meta, "points": rows},
+            indent=1))
+        print(f"wrote {art}", flush=True)
+
     if "merged" in which:
-        from bench import CHAIN_KW, build_merged_batch
+        from bench import MERGED_PCG_ITERS, build_merged_batch
+        from cg_mrslam_tpu.solver.pcg import optimize_pcg
 
         gm, order, meta = build_merged_batch(B)
         print(f"merged fixture: {meta}", flush=True)
 
         def gn5m(gg):
-            out, dropped = CH.optimize_chain(gg, 5, order=order,
-                                             return_dropped=True,
-                                             **CHAIN_KW)
-            return out
+            # the bench's exact operating point (see bench.bench_merged:
+            # the snapshot is not chainable, PCG on the full edge set)
+            return optimize_pcg(gg, 5, order=order,
+                                cg_iters=MERGED_PCG_ITERS)
 
         ms, w = timed(jax.jit(jax.vmap(
             lambda gg: gn5m(gg).poses.sum())), gm)
