@@ -9,9 +9,12 @@ BASELINE.md targets (the reference itself publishes no numbers):
   closures, condensed-star edges. The graph is a committed snapshot of
   the real exchange protocol (``tools/make_bench_fixture.py`` runs
   ``mr.sim.MultiRobotSim`` until robot 0's view nears its 1024-vertex
-  capacity); the solver is chain+Woodbury under the (owner, keyframe)
-  slot permutation (``solver/chain.py:chain_order``) — the bench asserts
-  the fast path actually fires (chainable, zero dropped loop edges).
+  capacity). The snapshot is NOT chainable (334 inter-robot closures),
+  so the exact solver is chain-preconditioned PCG on the FULL edge set
+  under the (owner, keyframe) slot permutation
+  (``solver/chain.py:chain_order`` + ``solver/pcg.py:_tridiag_precond``)
+  — the bench asserts the auto band's backend selection matches what it
+  reports and that chi2 lands in the dense-oracle basin.
 * p99 per-keyframe update latency < 50 ms — measured by replaying the
   synthetic hospital world through the full fused SLAM pipeline
   (matcher + constraints + vote + optimize) on the chip. Compile
@@ -64,11 +67,13 @@ CHAIN_KW = dict(loop_cap=64, cg_iters=24, cg_tol=1e-4)
 # per graph per GN iteration). The exact solver for this structure is
 # CG on the TRUE Hessian with the permuted chain-tridiagonal
 # preconditioner (solver/pcg.py:_tridiag_precond) — no truncation, no
-# dropped edges, dense-parity measured: dense 12.796 vs pcg cg24
-# 12.812 / cg48 12.807 on fixture element 0 (CPU oracle). Budget
-# picked by the committed merged sweep (artifacts/
-# chain_sweep_merged.json, tools/profile_chain3.py sweep-merged).
-MERGED_PCG_ITERS = 24
+# dropped edges. Budget picked by the committed on-chip sweep
+# (artifacts/chain_sweep_merged.json, tools/profile_chain3.py
+# sweep-merged; dense CPU oracle on element 0: 12.796): cg8 lands at
+# chi2 mean 12.849 / max 12.965 (0.4% above oracle) at 113 solves/s;
+# cg6 drifts to max 13.12 and deeper budgets buy <0.3% accuracy for
+# linear cost (cg12: 85.9/s @ 12.823, cg96: 14.2/s @ 12.798).
+MERGED_PCG_ITERS = 8
 
 
 def build_hospital_batch(batch: int, n: int = 1024, closures: int = 48,
@@ -280,13 +285,20 @@ def bench_pcg_64k():
     return dt, c0, c1
 
 
-def bench_keyframe_latency(ticks: int = 420):
+def bench_keyframe_latency(ticks: int = 2300):
     """p50/p99 per-keyframe latency of the FULL fused pipeline on chip
     (matcher grids + score volumes + candidate sets + covariance gate +
     vote + optimize(5)). Compile exclusion is EVENT-based: exactly the
     keyframes the BucketRunner recorded as first-touch compiles are cut;
     every other keyframe counts, however slow. The dispatch floor (a
-    trivial jitted identity round trip) is measured alongside."""
+    trivial jitted identity round trip) is measured alongside.
+
+    Runs at the DEFAULT hospital capacity 1024 (round-3 verdict: the
+    256-capacity row proved the small case only) and long enough
+    (~580 keyframes) to cross the 256→512→1024 buckets, so the recorded
+    p99 includes bucket crossings AND the chain band (capacity > 512:
+    the permuted chain/PCG backend, not dense). Per-bucket percentiles
+    ride along in extra."""
     from cg_mrslam_tpu.config import Config, MatcherConfig, SlamConfig
     from cg_mrslam_tpu.pipeline.slam import SingleRobotSlam
     from cg_mrslam_tpu.sim import world as W
@@ -297,21 +309,36 @@ def bench_keyframe_latency(ticks: int = 420):
                                     kernel_radius=0.2),
         lc_matcher=MatcherConfig(extent=70.0, resolution=0.1,
                                  kernel_radius=0.5),
-        max_vertices=256, max_edges=1024)
+        max_vertices=1024, max_edges=4096)
     world = W.hospital_world(40.0, 20.0, seed=0)
     traj = W.simulate_robot(
-        world, W.corridor_waypoints(40.0, 20.0, 0, 2), seed=1,
+        world, W.corridor_waypoints(40.0, 20.0, 0, 4), seed=1,
         beams=360, fov=2 * np.pi * 0.75, max_range=10.0,
         odom_noise=(0.01, 0.004))
     slam = SingleRobotSlam(cfg, 360, traj.gt[0], traj.ranges[0],
                            2 * np.pi * 0.75, 10.0)
     T = min(ticks, len(traj.gt))
+    buckets = []   # vertex bucket each keyframe ran in
     for t in range(1, T):
-        slam.observe(traj.rel_odom[t - 1], traj.ranges[t])
+        from cg_mrslam_tpu.pipeline import slam as SL
+
+        nb, _ = SL._bucket_pair(slam.state, slam.runner.n_live,
+                                slam.runner.e_live)
+        if slam.observe(traj.rel_odom[t - 1], traj.ranges[t]):
+            buckets.append(nb)
     lat = np.asarray(slam.metrics.values("keyframe_latency"))
     compile_idx = set(slam.runner.compile_events)
     steady = np.asarray([v for i, v in enumerate(lat)
                          if i not in compile_idx])
+    per_bucket = {}
+    for b in sorted(set(buckets)):
+        vals = np.asarray([v for i, v in enumerate(lat)
+                           if i not in compile_idx and buckets[i] == b])
+        if vals.size:
+            per_bucket[str(b)] = {
+                "n": int(vals.size),
+                "p50": round(float(np.percentile(vals, 50)) * 1e3, 1),
+                "p99": round(float(np.percentile(vals, 99)) * 1e3, 1)}
 
     # dispatch floor: trivial jitted identity on the same state pytree
     floor_fn = jax.jit(lambda s: s.graph.poses + 1.0)
@@ -330,7 +357,8 @@ def bench_keyframe_latency(ticks: int = 420):
 
     return (float(np.percentile(steady, 50)) * 1e3,
             float(np.percentile(steady, 99)) * 1e3,
-            int(lat.size), int(lat.size - steady.size), floor_ms)
+            int(lat.size), int(lat.size - steady.size), floor_ms,
+            per_bucket)
 
 
 def main():
@@ -342,7 +370,8 @@ def main():
         # fallback round must never record fewer verified capabilities
         # than its predecessor (VERDICT r03 item 8).
         solves_s, dt, c0, c1 = bench_hospital()
-        p50, p99, n_kf, n_excl, floor_ms = bench_keyframe_latency()
+        (p50, p99, n_kf, n_excl, floor_ms,
+         per_bucket) = bench_keyframe_latency()
         toy = bench_toy()
         dense = bench_dense_reference_point()
         pcg_dt, pc0, pc1 = bench_pcg_64k()
@@ -363,6 +392,7 @@ def main():
                     "keyframes": n_kf,
                     "compile_excluded_events": n_excl,
                     "dispatch_floor_ms": round(floor_ms, 1),
+                    "per_bucket": per_bucket,
                     "vs_50ms_target": round(50.0 / max(p99, 1e-9), 2)},
                 "toy_40pose_solves_per_s": round(toy, 1),
                 "dense_solver_same_scale_solves_per_s": round(dense, 1),
@@ -375,7 +405,8 @@ def main():
         return
 
     solves_s, dt, c0, c1, meta = bench_merged()
-    p50, p99, n_kf, n_excl, floor_ms = bench_keyframe_latency()
+    (p50, p99, n_kf, n_excl, floor_ms,
+     per_bucket) = bench_keyframe_latency()
     hosp = bench_hospital()
     toy = bench_toy()
     dense = bench_dense_reference_point()
@@ -414,6 +445,7 @@ def main():
                 "keyframes": n_kf,
                 "compile_excluded_events": n_excl,
                 "dispatch_floor_ms": round(floor_ms, 1),
+                "per_bucket": per_bucket,
                 "vs_50ms_target": round(50.0 / max(p99, 1e-9), 2)},
             "hospital_1robot_solves_per_s": round(hosp[0], 1),
             "toy_40pose_solves_per_s": round(toy, 1),

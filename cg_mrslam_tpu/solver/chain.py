@@ -417,11 +417,11 @@ def _cr_apply(fact, rhs: jax.Array) -> jax.Array:
             [x[1:], jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
         xo = _mm(Doi, ro - _mm(Le, x)
                  - _mm(jnp.swapaxes(Lo, -1, -2), x_next))
+        # interleave evens/odds by stack+reshape (x and xo are equal
+        # length at every level — m is a power of two): a dense layout
+        # transform instead of two strided scatters
         k2 = x.shape[0] + xo.shape[0]
-        out = jnp.zeros((k2,) + x.shape[1:], x.dtype)
-        out = out.at[0::2].set(x)
-        out = out.at[1::2].set(xo)
-        x = out
+        x = jnp.stack([x, xo], axis=1).reshape((k2,) + x.shape[1:])
     x = x[:n].reshape(n * group, 3, r_shape[-1])
     return x[:n3]
 

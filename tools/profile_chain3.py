@@ -131,7 +131,8 @@ def main():
         # PCG budget that bench.MERGED_PCG_ITERS commits to. Dense CPU
         # oracle on fixture element 0: chi2 33857 -> 12.796.
         rows = []
-        for kw in (dict(cg_iters=12), dict(cg_iters=16),
+        for kw in (dict(cg_iters=6), dict(cg_iters=8),
+                   dict(cg_iters=12), dict(cg_iters=16),
                    dict(cg_iters=24), dict(cg_iters=48),
                    dict(cg_iters=96)):
             def gn5m(gg, kw=kw):
