@@ -652,11 +652,17 @@ class BucketRunner:
         key = _bucket_pair(state, self.n_live, self.e_live)
         if key not in self._compiled and key in self._inflight:
             # a prewarm for exactly this bucket is in flight — waiting out
-            # its remainder beats recompiling the same program in parallel
+            # its remainder beats recompiling the same program in parallel.
+            # This wait IS a compile stall (up to a full XLA compile), so
+            # it must be recorded as a compile event — otherwise latency
+            # benches count a crossing that blocked on the prewarm as a
+            # steady-state keyframe (round-4: an unrecorded 3.6 s p99).
+            self.compile_events.append(self._kf_index)
             self._inflight.pop(key).join()
         if key not in self._compiled and key not in self._seen:
             # this dispatch traces+compiles (first touch of the bucket)
-            self.compile_events.append(self._kf_index)
+            if self._kf_index not in self.compile_events:
+                self.compile_events.append(self._kf_index)
         self._seen.add(key)
         state, info = keyframe_step_bucketed(
             state, est, ranges, self.cfg, self.n_live, self.e_live,

@@ -55,6 +55,11 @@ def timed(fn, *args, reps: int = 6, perturb=None) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--keyframes", type=int, default=60)
+    ap.add_argument("--capacity", type=int, default=256,
+                    help="max_vertices (edges = 4x); use 1024 with "
+                         "--keyframes 560 --loops 4 to profile the "
+                         "chain-band bucket")
+    ap.add_argument("--loops", type=int, default=2)
     ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args()
 
@@ -72,11 +77,11 @@ def main():
                                     kernel_radius=0.2),
         lc_matcher=MatcherConfig(extent=70.0, resolution=0.1,
                                  kernel_radius=0.5),
-        max_vertices=256, max_edges=1024)
+        max_vertices=args.capacity, max_edges=4 * args.capacity)
 
     world = W.hospital_world(40.0, 20.0, seed=0)
     traj = W.simulate_robot(
-        world, W.corridor_waypoints(40.0, 20.0, 0, 2), seed=1,
+        world, W.corridor_waypoints(40.0, 20.0, 0, args.loops), seed=1,
         beams=360, fov=2 * np.pi * 0.75, max_range=10.0,
         odom_noise=(0.01, 0.004))
     slam = SL.SingleRobotSlam(cfg, 360, traj.gt[0], traj.ranges[0],
@@ -133,14 +138,24 @@ def main():
     g1 = st1.graph
     cur = g1.n_vertices - 1
 
+    # the solver/marginal stages mirror keyframe_step's banding: dense
+    # inside DENSE_MAX, permuted chain/PCG auto band above it
+    if g1.poses.shape[-2] > gn.DENSE_MAX:
+        from cg_mrslam_tpu.solver.chain import chain_order
+
+        order = chain_order(st1.v_owner, st1.v_remote, g1.vmask)
+    else:
+        order = None
+
     def pg(a, k):
         import dataclasses
         return (dataclasses.replace(a[0], poses=a[0].poses + 1e-5 * (k + 1)),
                 ) + a[1:]
 
-    # 3. pre-optimize (1 GN dense)
+    # 3. pre-optimize (1 GN, auto band like the fused step)
     results["pre_optimize_gn1"] = timed(
-        jax.jit(lambda g: gn.optimize(g, 1)), g1, perturb=pg)
+        jax.jit(lambda g: gn.optimize_auto(g, 1, order=order)), g1,
+        perturb=pg)
 
     # 4. candidates: bounded distances + sets + components + regions
     def cands(g, c):
@@ -157,10 +172,11 @@ def main():
     results["candidates"] = timed(jax.jit(cands), g1, cur, perturb=pg)
     labels, regions = jax.block_until_ready(jax.jit(cands)(g1, cur))
 
-    # 5. covariance gate (marginals via spd_inverse of [3N,3N])
+    # 5. covariance gate (banded marginals — dense spd_inverse inside
+    # DENSE_MAX, chain/PCG CG column solves above)
     results["covariance_gate"] = timed(
         jax.jit(lambda g, c: SL._covariance_gate(
-            g, c, regions.rep_vertex, regions.valid, cfg)),
+            g, c, regions.rep_vertex, regions.valid, cfg, order=order)),
         g1, cur, perturb=pg)
 
     # 6. region matching (max_regions LC grids + searches)
@@ -184,9 +200,10 @@ def main():
 
     results["vote"] = timed(jax.jit(vote), st1, perturb=perturb_state)
 
-    # 8. optimize(5) dense
+    # 8. optimize(5) (auto band)
     results["optimize_gn5"] = timed(
-        jax.jit(lambda g: gn.optimize(g, 5)), g1, perturb=pg)
+        jax.jit(lambda g: gn.optimize_auto(g, 5, order=order)), g1,
+        perturb=pg)
 
     floor = results["dispatch_floor"]
     print(f"\nbucket (nb={nb}, eb={eb});  all times = median wall ms "
