@@ -76,6 +76,41 @@ def _make_kernel(dyp: int, dxp: int, n_points: int):
     return kernel
 
 
+def _tile_elems(dy: int, dx: int) -> int:
+    """Elements of the aligned fetch tile serving a [dy, dx] window."""
+    return (_round_up(dy, 8) + 8) * (_round_up(dx, 128) + 128)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("resolution", "n_theta", "ry", "rx", "interpret"),
+)
+def _pallas_volume_oriented(grid, center, points, valid, base, thetas, *,
+                            resolution, n_theta, ry, rx, interpret):
+    """Orientation dispatcher: the kernel's per-point fetch tile pads the
+    window to (⌈dy/8⌉·8+8) sublanes × (⌈dx/128⌉·128+128) lanes, so a tall
+    skinny window (the LC search: 31×11) wastes ~1.7× less when its LONG
+    axis rides the lanes (lanes are a flat 256 for any dx ≤ 128 while
+    sublanes grow in steps of 8). When the transposed orientation fetches
+    fewer elements, run the kernel on the transposed grid with the axis
+    roles swapped and transpose the volume back — exact, not an
+    approximation (the score sum is axis-symmetric)."""
+    dy, dx = 2 * ry + 1, 2 * rx + 1
+    if _tile_elems(dx, dy) < _tile_elems(dy, dx):
+        # swapped run: sublanes carry x / window rx, lanes carry y / ry.
+        # grid.T[x, y]; points/base/center with coords swapped so the
+        # kernel's "wx"→lane-axis math lands on the original y axis.
+        vol = _pallas_volume(
+            grid.T, center[::-1], points[:, ::-1], valid,
+            jnp.stack([base[1], base[0], -base[2]]), -thetas,
+            resolution=resolution, n_theta=n_theta, ry=rx, rx=ry,
+            interpret=interpret)                      # [T, dx, dy]
+        return jnp.swapaxes(vol, -1, -2)
+    return _pallas_volume(grid, center, points, valid, base, thetas,
+                          resolution=resolution, n_theta=n_theta,
+                          ry=ry, rx=rx, interpret=interpret)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("resolution", "n_theta", "ry", "rx", "interpret"),
@@ -165,7 +200,7 @@ def pallas_score_volume(grid: jax.Array, center: jax.Array,
     """
     ry = (len(ty_cells) - 1) // 2
     rx = (len(tx_cells) - 1) // 2
-    return _pallas_volume(
+    return _pallas_volume_oriented(
         grid, center, points, valid, base, thetas,
         resolution=float(resolution), n_theta=len(thetas),
         ry=ry, rx=rx, interpret=interpret)
@@ -201,7 +236,7 @@ def pallas_score_volume_strided(grid: jax.Array, center: jax.Array,
     tx = np.asarray(tx_cells)
     ry = int(max(ty.max(), -ty.min()))
     rx = int(max(tx.max(), -tx.min()))
-    vol = _pallas_volume(
+    vol = _pallas_volume_oriented(
         grid, center, points, valid, base, thetas,
         resolution=float(resolution), n_theta=len(thetas),
         ry=ry, rx=rx, interpret=interpret)          # [T, 2ry+1, 2rx+1]

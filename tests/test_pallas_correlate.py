@@ -104,3 +104,27 @@ def test_strided_matches_xla_path():
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("base", [(0.0, 0.0, 0.0), (0.4, -0.3, 0.7)])
+def test_tall_window_orientation_swap(base):
+    """The LC-search window shape (tall in y: 31x11) triggers the
+    orientation swap (`_pallas_volume_oriented`): the kernel runs on the
+    transposed grid with axis roles exchanged. Must stay bit-identical
+    in structure to the XLA path — the swap is a layout choice, not an
+    approximation."""
+    from cg_mrslam_tpu.ops.correlate import _tile_elems
+
+    grid, center, res, mov, valid = _setup()
+    thetas = make_lattice(0.2, 0.05)
+    ty = jnp.arange(-15, 16, dtype=jnp.int32)   # 31 (y span on lanes)
+    tx = jnp.arange(-5, 6, dtype=jnp.int32)     # 11
+    assert _tile_elems(11, 31) < _tile_elems(31, 11)  # swap fires
+    b = jnp.asarray(base, jnp.float32)
+
+    want = score_volume(grid, center, res, mov, valid, b, thetas, ty, tx)
+    got = pallas_score_volume(grid, center, res, mov, valid, b, thetas,
+                              ty, tx, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
