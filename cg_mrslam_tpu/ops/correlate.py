@@ -52,22 +52,32 @@ def _make_kernel(dyp: int, dxp: int, n_points: int):
     """Mosaic only lowers *aligned* dynamic slices (sublane start %8,
     lane start %128), so each patch is fetched as the enclosing aligned
     [dyp+8, dxp+128] tile and realigned in-register with two dynamic
-    rolls — the load and rolls are all full-width VPU ops."""
+    rolls — the load and rolls are all full-width VPU ops.
+
+    Skipped points (invalid beams, consecutive-duplicate cells, and any
+    caller-side thinning such as grid-resolution subsampling) are
+    GUARDED OUT with ``pl.when`` on the SMEM keep flag: the kernel's
+    cost is proportional to points that actually contribute, not to the
+    static P — measured ~35-50% of LC-search slots are skips."""
     dy2, dx2 = dyp + 8, dxp + 128
 
-    def kernel(iy0_ref, ix0_ref, count_ref, grid_ref, out_ref, acc_ref):
+    def kernel(iy0_ref, ix0_ref, keep_ref, count_ref, grid_ref, out_ref,
+               acc_ref):
         for tt in range(_TCHUNK):
             acc_ref[:] = jnp.zeros((dy2, dx2), jnp.float32)
 
             def body(p, _, tt=tt):
-                y0 = iy0_ref[tt, p]
-                x0 = ix0_ref[tt, p]
-                ya = (y0 // 8) * 8
-                xa = (x0 // 128) * 128
-                tile = grid_ref[pl.ds(ya, dy2), pl.ds(xa, dx2)]
-                tile = pltpu.roll(tile, dy2 - (y0 - ya), 0)
-                tile = pltpu.roll(tile, dx2 - (x0 - xa), 1)
-                acc_ref[:, :] += tile
+                @pl.when(keep_ref[tt, p] > 0)
+                def _add():
+                    y0 = iy0_ref[tt, p]
+                    x0 = ix0_ref[tt, p]
+                    ya = (y0 // 8) * 8
+                    xa = (x0 // 128) * 128
+                    tile = grid_ref[pl.ds(ya, dy2), pl.ds(xa, dx2)]
+                    tile = pltpu.roll(tile, dy2 - (y0 - ya), 0)
+                    tile = pltpu.roll(tile, dx2 - (x0 - xa), 1)
+                    acc_ref[:, :] += tile
+
                 return _
 
             jax.lax.fori_loop(0, n_points, body, 0)
@@ -150,7 +160,9 @@ def _pallas_volume(grid, center, points, valid, base, thetas, *,
 
     iy0 = jnp.clip(iy - ry + my, 0, hp - dyp - 8)
     ix0 = jnp.clip(ix - rx + mx, 0, wp - dxp - 128)
-    # skipped points read the all-zero corner and contribute nothing
+    # skipped points are branch-guarded in the kernel (pl.when); the
+    # zeroed anchors are belt-and-braces (a skipped slot that somehow
+    # executed would read the all-zero corner and contribute nothing)
     iy0 = jnp.where(keep, iy0, 0)
     ix0 = jnp.where(keep, ix0, 0)
 
@@ -159,6 +171,7 @@ def _pallas_volume(grid, center, points, valid, base, thetas, *,
     pad_t = [(0, tp - n_theta), (0, 0)]
     iy0 = jnp.pad(iy0, pad_t)          # padded θs read the zero corner
     ix0 = jnp.pad(ix0, pad_t)
+    keep_i = jnp.pad(keep.astype(jnp.int32), pad_t)  # padded θs all skip
     count = jnp.pad(count, (0, tp - n_theta), constant_values=1.0)
 
     out = pl.pallas_call(
@@ -169,6 +182,8 @@ def _pallas_volume(grid, center, points, valid, base, thetas, *,
                          memory_space=pltpu.SMEM),          # iy0
             pl.BlockSpec((_TCHUNK, p), lambda t: (t, 0),
                          memory_space=pltpu.SMEM),          # ix0
+            pl.BlockSpec((_TCHUNK, p), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),          # keep
             pl.BlockSpec((_TCHUNK, 1), lambda t: (t, 0),
                          memory_space=pltpu.SMEM),          # count
             pl.BlockSpec((hp, wp), lambda t: (0, 0),
@@ -184,7 +199,7 @@ def _pallas_volume(grid, center, points, valid, base, thetas, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(iy0, ix0, count[:, None], g)
+    )(iy0, ix0, keep_i, count[:, None], g)
     return out[:n_theta, :dy, :dx]
 
 
