@@ -104,6 +104,18 @@ class SlamConfig:
     # optimization budget per keyframe (cg_mrslam.cpp:225, graph_slam.cpp:392)
     gn_iterations: int = 5
     pre_optimize_iterations: int = 1
+    # chain-band CG budgets for the LIVE engine (capacity > DENSE_MAX).
+    # The solver API defaults stay conservative (cg48/t1e-6, marginals
+    # cg64/t1e-5); the engine opts into the committed operating point of
+    # the round-3 chip sweep (cg24/t1e-4 — fastest AND most accurate
+    # measured on the hospital workload, see bench.py CHAIN_KW) and a
+    # cruder budget for the covariance GATE only: the χ²(2) 5.99 cut
+    # tolerates ~5% covariance error, and gate marginals are the only
+    # O(cg·CR-apply) stage whose output feeds a threshold, not the map.
+    chain_cg_iters: int = 24
+    chain_cg_tol: float = 1e-4
+    gate_cg_iters: int = 16
+    gate_cg_tol: float = 1e-3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -189,8 +189,10 @@ def _covariance_gate(g: PoseGraph, cur, reps, rvalid, cfg: Config,
     n = g.poses.shape[0]
     regauged = dataclasses.replace(
         g, fixed=jax.nn.one_hot(cur, n, dtype=bool))
-    cov = gn.marginal_covariance_auto(regauged, reps,
-                                      order=order)          # [K,3,3]
+    cov = gn.marginal_covariance_auto(
+        regauged, reps, order=order,
+        chain_cg_iters=cfg.slam.gate_cg_iters,
+        chain_cg_tol=cfg.slam.gate_cg_tol)                  # [K,3,3]
     delta = g.poses[reps, :2] - g.poses[cur, :2]            # [K,2]
     dist = jnp.linalg.norm(delta, axis=-1)
     scale = jnp.maximum(dist - cfg.slam.perception_range_deflate, 0.0) / (
@@ -368,7 +370,9 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
         order = None
 
     # --- findConstraints (graph_slam.cpp:388-485) ---
-    g = gn.optimize_auto(g, cfg.slam.pre_optimize_iterations, order=order)
+    g = gn.optimize_auto(g, cfg.slam.pre_optimize_iterations, order=order,
+                         chain_cg_iters=cfg.slam.chain_cg_iters,
+                         chain_cg_tol=cfg.slam.chain_cg_tol)
 
     dist = GD.bounded_distances(g, cur)
     sets = GD.candidate_sets(
@@ -440,7 +444,9 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
     buf = buf2
 
     # --- optimize(5) (graph_slam.cpp:561-574) ---
-    g = gn.optimize_auto(g, cfg.slam.gn_iterations, order=order)
+    g = gn.optimize_auto(g, cfg.slam.gn_iterations, order=order,
+                         chain_cg_iters=cfg.slam.chain_cg_iters,
+                         chain_cg_tol=cfg.slam.chain_cg_tol)
 
     from cg_mrslam_tpu.core.linearize import chi2
     state = dataclasses.replace(state, graph=g, buffer=buf)

@@ -242,7 +242,9 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
                   edge_mask: jax.Array | None = None,
                   loop_cap: int = 64,
                   order: jax.Array | None = None,
-                  pcg_iters: int = 96) -> PoseGraph:
+                  pcg_iters: int = 96,
+                  chain_cg_iters: int = 48,
+                  chain_cg_tol: float = 1e-6) -> PoseGraph:
     """``optimize`` with a scale-appropriate backend.
 
     Static capacity picks the band; inside the chain band a runtime
@@ -276,7 +278,9 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
         CH.chainable(g, edge_mask, loop_cap=loop_cap, order=order),
         lambda gg: CH.optimize_chain(gg, iterations=iterations,
                                      edge_mask=edge_mask,
-                                     loop_cap=loop_cap, order=order),
+                                     loop_cap=loop_cap, order=order,
+                                     cg_iters=chain_cg_iters,
+                                     cg_tol=chain_cg_tol),
         lambda gg: optimize_pcg(gg, iterations=iterations,
                                 edge_mask=edge_mask, cg_iters=pcg_iters,
                                 order=order),
@@ -286,7 +290,9 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
 def marginal_covariance_auto(g: PoseGraph, query: jax.Array,
                              edge_mask: jax.Array | None = None,
                              loop_cap: int = 64,
-                             order: jax.Array | None = None) -> jax.Array:
+                             order: jax.Array | None = None,
+                             chain_cg_iters: int = 64,
+                             chain_cg_tol: float = 1e-5) -> jax.Array:
     """``marginal_covariance`` with a scale-appropriate backend, same
     banding as :func:`optimize_auto`: dense column solves up to
     ``DENSE_MAX`` capacity; above it, chain-preconditioned CG column
@@ -306,7 +312,8 @@ def marginal_covariance_auto(g: PoseGraph, query: jax.Array,
     return jax.lax.cond(
         CH.chainable(g, edge_mask, loop_cap=loop_cap, order=order),
         lambda gg: CH.marginal_covariance_chain(
-            gg, query, edge_mask, loop_cap=loop_cap, order=order),
+            gg, query, edge_mask, loop_cap=loop_cap, order=order,
+            cg_iters=chain_cg_iters, cg_tol=chain_cg_tol),
         lambda gg: marginal_covariance_pcg(gg, query, edge_mask,
                                            order=order),
         g)
