@@ -22,6 +22,10 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from functools import partial
+
+# full-f32 MXU precision — see solver/gauss_newton.py rationale
+_es = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 from cg_mrslam_tpu.core.graph import PoseGraph, unpack_info
 from cg_mrslam_tpu.utils import se2
@@ -40,7 +44,7 @@ def chi2(g: PoseGraph, edge_mask: jax.Array | None = None) -> jax.Array:
     mask = g.emask if edge_mask is None else edge_mask
     e = edge_errors(g.poses, g.e_ij, g.e_z)
     omega = unpack_info(g.e_info)
-    per_edge = jnp.einsum("...ei,...eij,...ej->...e", e, omega, e)
+    per_edge = _es("...ei,...eij,...ej->...e", e, omega, e)
     return jnp.sum(jnp.where(mask, per_edge, 0.0), axis=-1)
 
 
@@ -48,7 +52,7 @@ def edge_chi2(g: PoseGraph) -> jax.Array:
     """Per-edge chi2 ``[E]`` (unmasked — caller applies masks)."""
     e = edge_errors(g.poses, g.e_ij, g.e_z)
     omega = unpack_info(g.e_info)
-    return jnp.einsum("...ei,...eij,...ej->...e", e, omega, e)
+    return _es("...ei,...eij,...ej->...e", e, omega, e)
 
 
 def linearize(

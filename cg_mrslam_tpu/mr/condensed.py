@@ -25,6 +25,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from functools import partial as _partial
+
+# full-f32 MXU precision — see solver/gauss_newton.py rationale
+_es = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 from cg_mrslam_tpu.core.graph import PoseGraph, pack_info
 from cg_mrslam_tpu.core.linearize import linearize
@@ -114,7 +118,7 @@ def condense(g: PoseGraph, boundary: jax.Array, valid: jax.Array,
     e_ij = jnp.stack([jnp.broadcast_to(gauge, boundary.shape), boundary],
                      axis=-1)
     _, _, Jb = linearize(regauged.poses, e_ij, z)
-    cov_e = jnp.einsum("kij,kjl,kml->kim", Jb, cov, Jb)
+    cov_e = _es("kij,kjl,kml->kim", Jb, cov, Jb)
     # symmetrize + tiny jitter before inversion (near-rigid chains give
     # ill-conditioned covariances)
     cov_e = 0.5 * (cov_e + jnp.swapaxes(cov_e, -1, -2))

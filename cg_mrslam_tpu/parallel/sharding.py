@@ -24,6 +24,10 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from functools import partial as _partial
+
+# full-f32 MXU precision — see solver/gauss_newton.py rationale
+_es = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -63,13 +67,13 @@ def _local_normal_eq(poses, e_ij, e_z, e_info, emask, dtype):
     mask = emask.astype(dtype)
     e, Ji, Jj = linearize(poses, e_ij, e_z)
     omega = unpack_info(e_info) * mask[:, None, None]
-    JiT_O = jnp.einsum("eki,ekl->eil", Ji, omega)
-    JjT_O = jnp.einsum("eki,ekl->eil", Jj, omega)
-    Hii = jnp.einsum("eil,elj->eij", JiT_O, Ji)
-    Hij = jnp.einsum("eil,elj->eij", JiT_O, Jj)
-    Hjj = jnp.einsum("eil,elj->eij", JjT_O, Jj)
-    bi = jnp.einsum("eil,el->ei", JiT_O, e)
-    bj = jnp.einsum("eil,el->ei", JjT_O, e)
+    JiT_O = _es("eki,ekl->eil", Ji, omega)
+    JjT_O = _es("eki,ekl->eil", Jj, omega)
+    Hii = _es("eil,elj->eij", JiT_O, Ji)
+    Hij = _es("eil,elj->eij", JiT_O, Jj)
+    Hjj = _es("eil,elj->eij", JjT_O, Jj)
+    bi = _es("eil,el->ei", JiT_O, e)
+    bj = _es("eil,el->ei", JjT_O, e)
     vi, vj = e_ij[:, 0], e_ij[:, 1]
     blk_r = jnp.stack([vi, vi, vj, vj], axis=1)
     blk_c = jnp.stack([vi, vj, vi, vj], axis=1)
@@ -145,16 +149,16 @@ def _local_pcg_factors(poses, e_ij, e_z, e_info, emask, dtype):
     mask = emask.astype(dtype)
     e, Ji, Jj = linearize(poses, e_ij, e_z)
     omega = unpack_info(e_info) * mask[:, None, None]
-    JiT_O = jnp.einsum("eki,ekl->eil", Ji, omega)
-    JjT_O = jnp.einsum("eki,ekl->eil", Jj, omega)
+    JiT_O = _es("eki,ekl->eil", Ji, omega)
+    JjT_O = _es("eki,ekl->eil", Jj, omega)
     n = poses.shape[0]
     vi, vj = e_ij[:, 0], e_ij[:, 1]
     b = jnp.zeros((n, 3), dtype)
-    b = b.at[vi].add(jnp.einsum("eil,el->ei", JiT_O, e))
-    b = b.at[vj].add(jnp.einsum("eil,el->ei", JjT_O, e))
+    b = b.at[vi].add(_es("eil,el->ei", JiT_O, e))
+    b = b.at[vj].add(_es("eil,el->ei", JjT_O, e))
     diag = jnp.zeros((n, 3, 3), dtype)
-    diag = diag.at[vi].add(jnp.einsum("eil,elj->eij", JiT_O, Ji))
-    diag = diag.at[vj].add(jnp.einsum("eil,elj->eij", JjT_O, Jj))
+    diag = diag.at[vi].add(_es("eil,elj->eij", JiT_O, Ji))
+    diag = diag.at[vj].add(_es("eil,elj->eij", JjT_O, Jj))
     deg = jnp.zeros((n,), jnp.int32)
     em = emask.astype(jnp.int32)
     deg = deg.at[vi].add(em).at[vj].add(em)
@@ -196,13 +200,13 @@ def sharded_optimize_pcg(g: PoseGraph, mesh: Mesh, iterations: int = 5,
                 def one(ij, jji, jjj, om, xx):
                     vi, vj = ij[:, 0], ij[:, 1]
                     xi, xj = xx[vi], xx[vj]
-                    yi = jnp.einsum("eki,ekl,elm,em->ei", jji, om, jji,
+                    yi = _es("eki,ekl,elm,em->ei", jji, om, jji,
                                     xi) \
-                        + jnp.einsum("eki,ekl,elm,em->ei", jji, om, jjj,
+                        + _es("eki,ekl,elm,em->ei", jji, om, jjj,
                                      xj)
-                    yj = jnp.einsum("eki,ekl,elm,em->ei", jjj, om, jji,
+                    yj = _es("eki,ekl,elm,em->ei", jjj, om, jji,
                                     xi) \
-                        + jnp.einsum("eki,ekl,elm,em->ei", jjj, om, jjj,
+                        + _es("eki,ekl,elm,em->ei", jjj, om, jjj,
                                      xj)
                     return jnp.zeros_like(xx).at[vi].add(yi).at[vj].add(
                         yj)
@@ -213,7 +217,7 @@ def sharded_optimize_pcg(g: PoseGraph, mesh: Mesh, iterations: int = 5,
             rhs = -b * freeb
 
             def precond(r):
-                return jnp.einsum("...nij,...nj->...ni", minv, r) * freeb
+                return _es("...nij,...nj->...ni", minv, r) * freeb
 
             x0 = jnp.zeros_like(rhs)
             r0 = rhs

@@ -22,6 +22,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from functools import partial as _partial
+
+# full-f32 MXU precision — see solver/gauss_newton.py rationale
+_es = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 from cg_mrslam_tpu.core.graph import PoseGraph, unpack_info
 from cg_mrslam_tpu.utils import se2
@@ -123,7 +127,7 @@ def consistency_vote(buf: ClosureBuffer, poses: jax.Array, *,
         se2.compose(p_old[None, :, :], buf.z[None, :, :]), moved
     )                                                        # [K,W,3]
     omega = unpack_info(buf.info)                            # [W,3,3]
-    c2 = jnp.einsum("kwi,wij,kwj->kw", err, omega, err)
+    c2 = _es("kwi,wij,kwj->kw", err, omega, err)
 
     valid = buf.mask
     inlier = valid[None, :] & (c2 < inlier_threshold)

@@ -31,6 +31,17 @@ import jax
 import jax.numpy as jnp
 
 from cg_mrslam_tpu.core.graph import PoseGraph, unpack_info
+
+# EVERY matmul-shaped op in the normal-equation path runs at full-f32
+# MXU precision: default bf16 multiplicands corrupt the assembly at
+# production coordinate scales (lever-arm products ~(20 m)^2 x 1e4
+# information reach ~4e6, where bf16's 0.4% relative noise injects
+# fake gradients that GROW with distance from the origin — measured
+# on chip: a pure odometry chain diverged chi2 1e-4 -> 1 -> 4e6 ->
+# NaN between keyframes 55-60 at x~20 m, identically under Cholesky
+# and the matmul inverse, i.e. upstream of the solve; f32 CPU is
+# clean. Same convention as solver/spd.py and solver/chain.py.)
+_es = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 from cg_mrslam_tpu.core.linearize import chi2, linearize
 
 
@@ -74,28 +85,28 @@ def build_normal_equations(
     e, Ji, Jj = linearize(g.poses, g.e_ij, g.e_z)
     omega = unpack_info(g.e_info) * mask[:, None, None]
 
-    JiT_O = jnp.einsum("eki,ekl->eil", Ji, omega)  # Jᵢᵀ Ω  [E,3,3]
-    JjT_O = jnp.einsum("eki,ekl->eil", Jj, omega)
+    JiT_O = _es("eki,ekl->eil", Ji, omega)  # Jᵢᵀ Ω  [E,3,3]
+    JjT_O = _es("eki,ekl->eil", Jj, omega)
 
-    Hii = jnp.einsum("eil,elj->eij", JiT_O, Ji)
-    Hij = jnp.einsum("eil,elj->eij", JiT_O, Jj)
-    Hjj = jnp.einsum("eil,elj->eij", JjT_O, Jj)
-    bi = jnp.einsum("eil,el->ei", JiT_O, e)
-    bj = jnp.einsum("eil,el->ei", JjT_O, e)
+    Hii = _es("eil,elj->eij", JiT_O, Ji)
+    Hij = _es("eil,elj->eij", JiT_O, Jj)
+    Hjj = _es("eil,elj->eij", JjT_O, Jj)
+    bi = _es("eil,el->ei", JiT_O, e)
+    bj = _es("eil,el->ei", JjT_O, e)
 
     vi, vj = g.e_ij[:, 0], g.e_ij[:, 1]
     Oi = jax.nn.one_hot(vi, n, dtype=g.poses.dtype)  # [E, N]
     Oj = jax.nn.one_hot(vj, n, dtype=g.poses.dtype)
 
     Hb = (
-        jnp.einsum("en,eij,em->nimj", Oi, Hii, Oi)
-        + jnp.einsum("en,eij,em->nimj", Oi, Hij, Oj)
-        + jnp.einsum("en,eij,em->njmi", Oj, Hij, Oi)
-        + jnp.einsum("en,eij,em->nimj", Oj, Hjj, Oj)
+        _es("en,eij,em->nimj", Oi, Hii, Oi)
+        + _es("en,eij,em->nimj", Oi, Hij, Oj)
+        + _es("en,eij,em->njmi", Oj, Hij, Oi)
+        + _es("en,eij,em->nimj", Oj, Hjj, Oj)
     )
     H = Hb.reshape(3 * n, 3 * n)
 
-    bv = jnp.einsum("en,ei->ni", Oi, bi) + jnp.einsum("en,ei->ni", Oj, bj)
+    bv = _es("en,ei->ni", Oi, bi) + _es("en,ei->ni", Oj, bj)
     b = bv.reshape(3 * n)
 
     free3 = jnp.repeat(_free_mask(g, emask_b), 3).astype(g.poses.dtype)

@@ -23,6 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from cg_mrslam_tpu.core.graph import PoseGraph, unpack_info
+
+# full-f32 MXU precision — see solver/gauss_newton.py rationale
+_es = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 from cg_mrslam_tpu.core.linearize import linearize
 from cg_mrslam_tpu.utils import se2
 
@@ -43,12 +46,12 @@ def _factorize(g: PoseGraph, edge_mask: jax.Array | None) -> EdgeFactors:
     e, Ji, Jj = linearize(g.poses, g.e_ij, g.e_z)
     omega = unpack_info(g.e_info) * mask.astype(g.poses.dtype)[:, None, None]
 
-    JiT_O = jnp.einsum("eki,ekl->eil", Ji, omega)
-    JjT_O = jnp.einsum("eki,ekl->eil", Jj, omega)
-    bi = jnp.einsum("eil,el->ei", JiT_O, e)
-    bj = jnp.einsum("eil,el->ei", JjT_O, e)
-    Hii = jnp.einsum("eil,elj->eij", JiT_O, Ji)
-    Hjj = jnp.einsum("eil,elj->eij", JjT_O, Jj)
+    JiT_O = _es("eki,ekl->eil", Ji, omega)
+    JjT_O = _es("eki,ekl->eil", Jj, omega)
+    bi = _es("eil,el->ei", JiT_O, e)
+    bj = _es("eil,el->ei", JjT_O, e)
+    Hii = _es("eil,elj->eij", JiT_O, Ji)
+    Hjj = _es("eil,elj->eij", JjT_O, Jj)
 
     n = g.poses.shape[0]
     vi, vj = g.e_ij[:, 0], g.e_ij[:, 1]
@@ -94,7 +97,7 @@ def _tridiag_precond(g: PoseGraph, f: EdgeFactors, damp: float = 1e-3):
     free = f.free
     freeb = free[:, None]
     diag_free = jnp.where(free[:, None, None], f.diag, 0.0)
-    diag_scale = jnp.einsum("nii->", diag_free) / jnp.maximum(
+    diag_scale = _es("nii->", diag_free) / jnp.maximum(
         3.0 * jnp.sum(free.astype(dtype)), 1.0)
     lam = damp * diag_scale + 1e-6
     D = jnp.where(free[:, None, None], f.diag + lam * eye, eye)
@@ -102,7 +105,7 @@ def _tridiag_precond(g: PoseGraph, f: EdgeFactors, damp: float = 1e-3):
     # chain off-diagonals: adjacent-slot edges with both ends free
     # (f.omega is already zeroed on masked edges)
     cm = ((vj == vi + 1) & free[vi] & free[vj]).astype(dtype)
-    Hij = jnp.einsum("eki,ekl,elm->eim", f.Ji, f.omega, f.Jj) \
+    Hij = _es("eki,ekl,elm->eim", f.Ji, f.omega, f.Jj) \
         * cm[:, None, None]
     L = jnp.zeros((n, 3, 3), dtype).at[vi].add(
         jnp.swapaxes(Hij, -1, -2))
@@ -122,10 +125,10 @@ def _hvp(g: PoseGraph, f: EdgeFactors, x: jax.Array) -> jax.Array:
     vi, vj = g.e_ij[:, 0], g.e_ij[:, 1]
     xi = x[vi]
     xj = x[vj]
-    yi = jnp.einsum("eki,ekl,elm,em->ei", f.Ji, f.omega, f.Ji, xi) + \
-        jnp.einsum("eki,ekl,elm,em->ei", f.Ji, f.omega, f.Jj, xj)
-    yj = jnp.einsum("eki,ekl,elm,em->ei", f.Jj, f.omega, f.Ji, xi) + \
-        jnp.einsum("eki,ekl,elm,em->ei", f.Jj, f.omega, f.Jj, xj)
+    yi = _es("eki,ekl,elm,em->ei", f.Ji, f.omega, f.Ji, xi) + \
+        _es("eki,ekl,elm,em->ei", f.Ji, f.omega, f.Jj, xj)
+    yj = _es("eki,ekl,elm,em->ei", f.Jj, f.omega, f.Ji, xi) + \
+        _es("eki,ekl,elm,em->ei", f.Jj, f.omega, f.Jj, xj)
     n = x.shape[0]
     y = jnp.zeros_like(x).at[vi].add(yi).at[vj].add(yj)
     return y * f.free[:, None]
