@@ -116,6 +116,24 @@ class SlamConfig:
     chain_cg_tol: float = 1e-4
     gate_cg_iters: int = 16
     gate_cg_tol: float = 1e-3
+    # PCG-band budgets (non-chainable graphs past DENSE_MAX — e.g. once
+    # live loop closures exceed loop_cap). PCG scans run their FULL
+    # static budget (no tolerance exit), so these directly set the
+    # per-keyframe cost: the merged-fixture sweep measured cg8 within
+    # 0.4% of the dense oracle for solves (artifacts/
+    # chain_sweep_merged.json); marginals need deeper budgets (unit
+    # columns propagate the whole chain) but the gate only needs ~10%.
+    pcg_cg_iters: int = 24
+    gate_pcg_iters: int = 96
+    # chain-band Woodbury loop capacity for the LIVE engine. The solver
+    # default (64) is tuned for batched throughput; live single-robot
+    # graphs accumulate real loop closures past 64 within ~600
+    # keyframes (measured: run_srslam4096 backend flipped to fixed-
+    # budget PCG at kf ~520), and the chain path's tolerance-exit CG +
+    # loop-aware preconditioner is much cheaper in the incremental
+    # steady state than full-budget PCG. 192 keeps ~1000-keyframe runs
+    # chainable; capacitance stays [3·192]² — cheap at batch 1.
+    loop_cap: int = 192
 
 
 @dataclasses.dataclass(frozen=True)

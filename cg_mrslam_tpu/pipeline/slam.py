@@ -191,8 +191,10 @@ def _covariance_gate(g: PoseGraph, cur, reps, rvalid, cfg: Config,
         g, fixed=jax.nn.one_hot(cur, n, dtype=bool))
     cov = gn.marginal_covariance_auto(
         regauged, reps, order=order,
+        loop_cap=cfg.slam.loop_cap,
         chain_cg_iters=cfg.slam.gate_cg_iters,
-        chain_cg_tol=cfg.slam.gate_cg_tol)                  # [K,3,3]
+        chain_cg_tol=cfg.slam.gate_cg_tol,
+        pcg_cg_iters=cfg.slam.gate_pcg_iters)               # [K,3,3]
     delta = g.poses[reps, :2] - g.poses[cur, :2]            # [K,2]
     dist = jnp.linalg.norm(delta, axis=-1)
     scale = jnp.maximum(dist - cfg.slam.perception_range_deflate, 0.0) / (
@@ -371,8 +373,10 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
 
     # --- findConstraints (graph_slam.cpp:388-485) ---
     g = gn.optimize_auto(g, cfg.slam.pre_optimize_iterations, order=order,
+                         loop_cap=cfg.slam.loop_cap,
                          chain_cg_iters=cfg.slam.chain_cg_iters,
-                         chain_cg_tol=cfg.slam.chain_cg_tol)
+                         chain_cg_tol=cfg.slam.chain_cg_tol,
+                         pcg_iters=cfg.slam.pcg_cg_iters)
 
     dist = GD.bounded_distances(g, cur)
     sets = GD.candidate_sets(
@@ -445,8 +449,10 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
 
     # --- optimize(5) (graph_slam.cpp:561-574) ---
     g = gn.optimize_auto(g, cfg.slam.gn_iterations, order=order,
+                         loop_cap=cfg.slam.loop_cap,
                          chain_cg_iters=cfg.slam.chain_cg_iters,
-                         chain_cg_tol=cfg.slam.chain_cg_tol)
+                         chain_cg_tol=cfg.slam.chain_cg_tol,
+                         pcg_iters=cfg.slam.pcg_cg_iters)
 
     from cg_mrslam_tpu.core.linearize import chi2
     state = dataclasses.replace(state, graph=g, buffer=buf)
@@ -456,7 +462,8 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
         + jnp.sum(direct.astype(jnp.int32)),
         chi2=chi2(g), n_edges=g.n_edges,
         regions_dropped=regions_dropped,
-        solver_backend=gn.auto_backend(g, order=order))
+        solver_backend=gn.auto_backend(g, order=order,
+                                       loop_cap=cfg.slam.loop_cap))
     return state, info_out
 
 

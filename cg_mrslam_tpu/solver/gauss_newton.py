@@ -303,7 +303,8 @@ def marginal_covariance_auto(g: PoseGraph, query: jax.Array,
                              loop_cap: int = 64,
                              order: jax.Array | None = None,
                              chain_cg_iters: int = 64,
-                             chain_cg_tol: float = 1e-5) -> jax.Array:
+                             chain_cg_tol: float = 1e-5,
+                             pcg_cg_iters: int = 160) -> jax.Array:
     """``marginal_covariance`` with a scale-appropriate backend, same
     banding as :func:`optimize_auto`: dense column solves up to
     ``DENSE_MAX`` capacity; above it, chain-preconditioned CG column
@@ -326,6 +327,7 @@ def marginal_covariance_auto(g: PoseGraph, query: jax.Array,
             gg, query, edge_mask, loop_cap=loop_cap, order=order,
             cg_iters=chain_cg_iters, cg_tol=chain_cg_tol),
         lambda gg: marginal_covariance_pcg(gg, query, edge_mask,
+                                           cg_iters=pcg_cg_iters,
                                            order=order),
         g)
 
