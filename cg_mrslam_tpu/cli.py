@@ -284,6 +284,10 @@ def _run_udp_node(a):
     T = len(traj.gt) if not a.ticks else min(a.ticks, len(traj.gt))
     t_wall = time.time()
     for t in range(1, T):
+        if a.tick_seconds > 0:
+            lag = t_wall + t * a.tick_seconds - time.time()
+            if lag > 0:
+                time.sleep(lag)
         now = 0.1 * t  # 10 Hz main loop (cg_mrslam.cpp:206)
         if a.modality == "bag":
             node.bag_tick(now)
@@ -301,10 +305,12 @@ def _run_udp_node(a):
         if int(node.state.slam.graph.n_vertices) >= cfg.max_vertices - 4:
             print("vertex capacity reached; stopping")
             break
-    # drain the tail: peers may still be sending
-    for k in range(20):
+    # drain the tail: peers may still be sending — and the condensed
+    # exchange needs round trips (closure list → peer condenses → star
+    # → splice), so keep the comm loop alive well past the last tick
+    for k in range(60):
         node.comm_round(0.1 * T + 0.1 * k)
-        time.sleep(0.05)
+        time.sleep(0.25)
     print(f"done in {time.time() - t_wall:.1f}s; stats={node.stats}")
     if a.record_pings:
         node.save_pings(a.record_pings)
@@ -370,6 +376,13 @@ def cmd_cg_mrslam(argv):
                    help="write end-of-run node stats (keyframes, "
                         "closures, bytes, capacity counters) as JSON "
                         "— the committable multi-robot run artifact")
+    p.add_argument("--tick-seconds", type=float, default=0.0,
+                   help="pace the main loop to wall time: tick t runs "
+                        "no earlier than start + t*X. Per-process "
+                        "peers on heterogeneous backends otherwise "
+                        "free-run at different speeds and their "
+                        "simulated clocks diverge (the reference's 10 "
+                        "Hz loop is real time, cg_mrslam.cpp:206)")
     a = p.parse_args(argv)
 
     if a.idRobot >= 0:

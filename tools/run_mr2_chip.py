@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--max-vertices", type=int, default=256)
     ap.add_argument("--beams", type=int, default=180)
     ap.add_argument("--both-tpu", action="store_true")
+    ap.add_argument("--tick-seconds", type=float, default=1.0,
+                    help="wall-clock pacing per tick (keeps the chip "
+                         "and CPU nodes' simulated clocks aligned; the "
+                         "first run measured 166 s vs 367 s free-run "
+                         "skew, which cut the condensed exchange short)")
     ap.add_argument("--out", default=str(ROOT / "artifacts/mr2_chip_run.json"))
     args = ap.parse_args()
 
@@ -43,6 +48,7 @@ def main():
         "--max-vertices", str(args.max_vertices),
         "--max-edges", str(4 * args.max_vertices),
         "--beams", str(args.beams), "--no-map", "-o", "mr2chip",
+        "--tick-seconds", str(args.tick_seconds),
     ]
     procs = []
     t0 = time.time()
