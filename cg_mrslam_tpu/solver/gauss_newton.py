@@ -220,7 +220,12 @@ def optimize(g: PoseGraph, iterations: int = 5,
 #   chain    : DENSE_MAX < N ≤ PCG_MIN and the graph is an odometry
 #              chain + closures — O(N) cyclic reduction (solver/chain.py)
 #   PCG      : N > PCG_MIN — dense H no longer fits / pays
-DENSE_MAX = 512
+# Round-4: 256 (was 512). With assembly pinned to full-f32 MXU precision
+# the dense band's one-hot einsums got materially heavier, and the live
+# 512-bucket measured p50 140.8 ms dense vs 96.4 ms for the chain band
+# at 1024 — the chain/PCG band is now the faster AND numerically safer
+# choice from 512 up.
+DENSE_MAX = 256
 PCG_MIN = 4096
 
 
