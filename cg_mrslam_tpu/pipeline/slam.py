@@ -258,20 +258,16 @@ def _match_regions(state: SlamState, est, cand, labels, regions,
     mcfg = cfg.lc_matcher
     w = cfg.windows
 
-    # Thin the moving scan to ≤1 point per LC-grid cell (the reference's
-    # CharGrid::subsample, chargrid.cpp:98-122, applied on top of the
-    # in-kernel consecutive-duplicate dedup): points sharing a 0.1 m
-    # cell contribute the same grid value, so the mean over unique-cell
-    # points is the same score signal at ~half the kernel work — the
-    # pallas kernel skips masked points (measured ~45% of beams thin
-    # out at LC resolution on the hospital world). Binning happens in
-    # the scan frame (rigid transforms preserve the ≤1-per-cell density
-    # property to within a cell).
-    from cg_mrslam_tpu.matcher.grid import subsample
-
-    cur_valid = cur_valid & subsample(
-        cur_pts, cur_valid, jnp.zeros((2,), cur_pts.dtype),
-        cells=256, resolution=mcfg.resolution)
+    # NOTE (round 4): thinning the MOVING scan to ≤1 point per LC-grid
+    # cell was tried here for kernel savings and REVERTED — the
+    # reference's CharGrid::subsample (chargrid.cpp:98-122) thins the
+    # REFERENCE cloud before rasterization, not the scored scan, and
+    # dropping ~45% of scored beams measurably degraded matching
+    # discrimination in self-similar corridors (two-robot cross-
+    # consistency median 0.60 -> 0.63 m with 5.7 m outliers, and the
+    # FleetSim-vs-host structural-equality pin started flipping argmax
+    # ties). The pallas kernel still skips invalid beams and per-θ
+    # consecutive duplicate cells via its keep mask — semantics-free.
 
     def one(rep, rvalid):
         in_comp = cand & (labels == labels[rep])

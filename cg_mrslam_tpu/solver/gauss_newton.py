@@ -199,7 +199,14 @@ def optimize(g: PoseGraph, iterations: int = 5,
     minv = spd_inverse(H)
 
     def solve_update(gg, H, b, free3):
-        dx = -pcg_refine(H, b[:, None], minv)[:, 0] * free3
+        # tighter tol than the one-shot solve path: with a one-GN-
+        # iteration-stale preconditioner CG converges in a few extra
+        # cheap [3N,3N]x[3N,1] matmuls, and the tighter exit keeps the
+        # reused-inverse iterations numerically indistinguishable from
+        # the invert-every-iteration path (a 1e-5 exit left enough slack
+        # for differently-fused programs to flip near-tied matcher
+        # argmaxes downstream — caught by test_fleet_sim's ATE pin)
+        dx = -pcg_refine(H, b[:, None], minv, tol=1e-7)[:, 0] * free3
         return dataclasses.replace(
             gg, poses=se2.oplus(gg.poses, dx.reshape(-1, 3)))
 
