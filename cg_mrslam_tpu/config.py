@@ -166,9 +166,15 @@ class MRConfig:
     max_datagram: int = 100_000    # msg_factory.h:115
     # wire message capacities (static shapes; the reference's messages are
     # variable-length). Overflow is COUNTED (ClosureList.dropped /
-    # StarMsg.dropped → Recorder), never silent.
-    closure_list_cap: int = 16     # boundary vertices per condensed request
-    star_edges_cap: int = 16       # virtual edges per star
+    # StarMsg.dropped → Recorder), never silent — and the closure list
+    # additionally ROTATES its cap-window across sends (build_closure_list
+    # off= + union receive), so an overflowing accepted set is still fully
+    # covered over successive 150 ms rounds. 128 boundary edges ≈ 5.3 kB
+    # on the wire (2×int32 + 9×float32 each, msg_factory.cpp:163-199) —
+    # far inside the 100 kB datagram bound; round-4's cap of 16 bound
+    # hard in real runs (54-63 accepted closures → systematic truncation).
+    closure_list_cap: int = 128    # boundary vertices per condensed request
+    star_edges_cap: int = 128      # virtual edges per star
 
 
 @dataclasses.dataclass(frozen=True)

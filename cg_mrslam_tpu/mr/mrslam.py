@@ -244,9 +244,20 @@ def build_combo(st: MRState) -> Combo:
 
 @jax.jit
 def receive_combo(st: MRState, combo: Combo, live: jax.Array) -> MRState:
-    """Instantiate the sender's newest vertex if unknown and park it
-    (``addInterRobotDataCombo``, ``mr_graph_slam.cpp:118-252``: known
-    vertices are skipped)."""
+    """Instantiate the sender's newest vertex if unknown and park it;
+    refresh the estimates of the sender's KNOWN vertices that are still
+    awaiting structure (``addInterRobotDataCombo``,
+    ``mr_graph_slam.cpp:118-252``: the two "Update estimate" branches at
+    ``:131-155`` overwrite the stored estimate of every combo vertex that
+    sits in the inter-robot closure buffer or the parked list — so a
+    parked vertex retries global matching from the sender's freshest
+    optimized pose, not the stale pose it was parked with).
+
+    "Awaiting structure" is realised here as live-edge degree == 0 in my
+    graph: parked and hypothesis-buffered foreign vertices have no edges
+    yet (exactly the reference's two buffered populations), while
+    vertices with accepted closures or spliced stars are constrained by
+    MY optimizer and must not be dragged back to the sender's frame."""
     slam = st.slam
     slot = find_slot(slam, combo.robot, combo.idxs[0])
     n = slam.v_owner.shape[0]
@@ -269,6 +280,21 @@ def receive_combo(st: MRState, combo: Combo, live: jax.Array) -> MRState:
         slam, graph=g, scans=scans,
         v_owner=slam.v_owner.at[tgt].set(combo.robot, mode="drop"),
         v_remote=slam.v_remote.at[tgt].set(combo.idxs[0], mode="drop"))
+
+    # "Update estimate" branches (mr_graph_slam.cpp:131-155): every combo
+    # pose whose vertex I already hold and which carries no live edge yet
+    # (parked / hypothesis-buffered) snaps to the transmitted estimate.
+    g = slam.graph
+    em = g.emask.astype(jnp.int32)
+    deg = (jnp.zeros((n,), jnp.int32)
+           .at[g.e_ij[:, 0]].add(em).at[g.e_ij[:, 1]].add(em))
+    slots = jax.vmap(lambda i: find_slot(slam, combo.robot, i))(combo.idxs)
+    known = live & combo.valid & (slots < n)
+    upd = known & (deg[jnp.minimum(slots, n - 1)] == 0)
+    refreshed = jnp.where(upd, slots, n)                   # n = drop
+    g = dataclasses.replace(
+        g, poses=g.poses.at[refreshed].set(combo.poses, mode="drop"))
+    slam = dataclasses.replace(slam, graph=g)
     return dataclasses.replace(
         st, slam=slam,
         parked=st.parked.at[tgt].set(True, mode="drop"),
@@ -397,16 +423,30 @@ def vote_inter_robot(st: MRState, cfg: Config) -> MRState:
 
 
 @partial(jax.jit, static_argnames=("cap",))
-def build_closure_list(st: MRState, peer, cap: int = CLOSURE_LIST
-                       ) -> ClosureList:
+def build_closure_list(st: MRState, peer, cap: int = CLOSURE_LIST,
+                       off=0) -> ClosureList:
     """Remote indices of ``peer``'s vertices I accepted closures on
     (my condensed-graph request, ``constructCondensedGraphMessage``,
-    ``mr_graph_slam.cpp:607-670``). The newest ``cap`` closures ship;
-    the overflow count rides the message for the sender's Recorder."""
+    ``mr_graph_slam.cpp:607-670``). The reference ships the ENTIRE
+    accepted set every send; the static wire shape caps one datagram at
+    ``cap``, so an overflowing set is covered by ROTATION: ``off``
+    shifts the cap-window through the newest-first ranking, and the
+    sender advances it by ``cap`` per send (mod set size) — successive
+    150 ms rounds cover the full boundary, and the receiver UNIONs
+    chunks (:func:`receive_closure_list`). The per-send overflow count
+    still rides the message for the sender's Recorder."""
     sel = st.out_closures[peer] & (st.slam.v_owner == peer)
+    n = sel.shape[0]
+    cap = min(cap, n)
     score = jnp.where(sel, st.slam.v_remote, -1)
-    vals, slots = jax.lax.top_k(score, cap)
     n_sel = jnp.sum(sel.astype(jnp.int32))
+    order = jnp.argsort(-score)            # selected first, newest first
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    rot = (rank + jnp.asarray(off, jnp.int32)) % jnp.maximum(n_sel, 1)
+    keep = sel & (rot < cap)
+    score2 = jnp.where(keep, st.slam.v_remote, -1)
+    vals, slots = jax.lax.top_k(score2, cap)
     return ClosureList(idxs=st.slam.v_remote[slots], valid=vals >= 0,
                        dropped=jnp.maximum(n_sel - cap, 0))
 
@@ -416,13 +456,17 @@ def receive_closure_list(st: MRState, peer, cl: ClosureList,
                          live: jax.Array) -> MRState:
     """Record which of MY vertices ``peer`` closed on — the boundary of
     the star I owe them (``insertOutClosure`` bookkeeping,
-    ``condensed_graph_buffer.cpp:131-170``; replace-wholesale keeps the
-    protocol idempotent)."""
+    ``condensed_graph_buffer.cpp:131-170``). UNION semantics, matching
+    the reference's per-closure inserts into a growing buffer: the
+    accepted set only grows on the sender, so accumulating rotated
+    cap-window chunks (see :func:`build_closure_list`) converges to the
+    full boundary and stays idempotent under resend/reorder."""
     slots = jax.vmap(lambda i: find_slot(st.slam, st.slam.my_id, i))(cl.idxs)
     n = st.slam.v_owner.shape[0]
     mask = jnp.zeros((n + 1,), bool).at[
         jnp.where(cl.valid, slots, n)].set(True)[:n]
-    new_row = jnp.where(live, mask, st.in_closures[peer])
+    new_row = jnp.where(live, mask | st.in_closures[peer],
+                        st.in_closures[peer])
     return dataclasses.replace(
         st, in_closures=st.in_closures.at[peer].set(new_row))
 
@@ -436,6 +480,7 @@ def build_star(st: MRState, peer, gauge_mode: str = "centroid",
     policies: ``"centroid"`` (default, ``selectGaugeCentroid``) or
     ``"optimal"`` (uncertainty-minimizing ``selectOptimalGauge``)."""
     sel = st.in_closures[peer]
+    cap = min(cap, sel.shape[0])
     score = jnp.where(sel, st.slam.v_remote, -1)
     vals, slots = jax.lax.top_k(score, cap)
     valid = vals >= 0

@@ -64,6 +64,16 @@ class RobotNode:
         self._peer_pos = np.full((self.R, 2), np.inf)
         self._last_combo_sent = -1  # n_vertices at last combo broadcast
         self._last_send_t = -np.inf  # sender-thread cadence bookkeeping
+        # closure-list rotation offsets (cover an overflowing accepted
+        # set across sends — see MR.build_closure_list) and the
+        # unchanged-send cache: between keyframes/receives nothing a
+        # list/star depends on changes, so the encoded datagrams are
+        # reused instead of re-dispatching build_closure_list/build_star
+        # device programs per peer per 150 ms round (round-4 weak spot:
+        # those dispatches dominated idle-phase wall time through the
+        # tunnel).
+        self._list_off = np.zeros(self.R, np.int64)
+        self._send_cache: dict = {}
         self.ping_events: List[Tuple[float, int, int]] = []  # (t, me, src)
         self.stats = {"sent": 0, "received": 0, "keyframes": 0,
                       "decode_errors": 0, "closure_list_dropped": 0,
@@ -243,34 +253,53 @@ class RobotNode:
         n_now = int(self.state.slam.graph.n_vertices)
         combo = wire.encode(MR.build_combo(self.state)) \
             if n_now != self._last_combo_sent else None
+        cap = self.cfg.mr.closure_list_cap
         for p in peers:
             if combo is not None:
                 self.transport.send(p, combo)
                 self._log_msg("sent", p, combo, t)
                 self.stats["sent"] += 1
                 self.stats["bytes_sent"] += len(combo)
-            cl = MR.build_closure_list(
-                self.state, jnp.asarray(p, jnp.int32),
-                cap=self.cfg.mr.closure_list_cap)
-            if int(np.asarray(cl.dropped)):
-                self.stats["closure_list_dropped"] += int(
-                    np.asarray(cl.dropped))
-            if bool(np.asarray(cl.valid).any()):
-                buf_cl = wire.encode(cl, robot=self.id)
+            # unchanged-send skip: list/star content depends only on the
+            # vote (keyframes), applied messages (received) and the
+            # rotation offset — same signature, same datagrams
+            sig = (self.stats["keyframes"], self.stats["received"],
+                   int(self._list_off[p]))
+            cached = self._send_cache.get(p)
+            if cached is not None and cached[0] == sig:
+                _, buf_cl, cl_dropped, buf_star, star_dropped = cached
+            else:
+                cl = MR.build_closure_list(
+                    self.state, jnp.asarray(p, jnp.int32), cap=cap,
+                    off=jnp.asarray(self._list_off[p], jnp.int32))
+                cl_dropped = int(np.asarray(cl.dropped))
+                buf_cl = (wire.encode(cl, robot=self.id)
+                          if bool(np.asarray(cl.valid).any()) else None)
+                star = MR.build_star(
+                    self.state, jnp.asarray(p, jnp.int32),
+                    cap=self.cfg.mr.star_edges_cap)
+                star_dropped = int(np.asarray(star.dropped))
+                buf_star = (wire.encode(star, robot=self.id)
+                            if bool(np.asarray(star.valid).any()) else None)
+                self._send_cache[p] = (sig, buf_cl, cl_dropped, buf_star,
+                                       star_dropped)
+            self.stats["closure_list_dropped"] += cl_dropped
+            self.stats["star_dropped"] += star_dropped
+            if buf_cl is not None:
                 self.transport.send(p, buf_cl)
                 self._log_msg("sent", p, buf_cl, t)
                 self.stats["sent"] += 1
                 self.stats["bytes_sent"] += len(buf_cl)
-            star = MR.build_star(self.state, jnp.asarray(p, jnp.int32),
-                                 cap=self.cfg.mr.star_edges_cap)
-            if int(np.asarray(star.dropped)):
-                self.stats["star_dropped"] += int(np.asarray(star.dropped))
-            if bool(np.asarray(star.valid).any()):
-                buf_star = wire.encode(star, robot=self.id)
+            if buf_star is not None:
                 self.transport.send(p, buf_star)
                 self._log_msg("sent", p, buf_star, t)
                 self.stats["sent"] += 1
                 self.stats["bytes_sent"] += len(buf_star)
+            if cl_dropped > 0:
+                # rotate so the NEXT send covers the next cap-window of
+                # the accepted set (n_sel = dropped + cap)
+                self._list_off[p] = ((self._list_off[p] + cap)
+                                     % (cl_dropped + cap))
         if combo is not None:
             self._last_combo_sent = n_now
 

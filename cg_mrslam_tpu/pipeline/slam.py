@@ -681,8 +681,13 @@ class BucketRunner:
             # it must be recorded as a compile event — otherwise latency
             # benches count a crossing that blocked on the prewarm as a
             # steady-state keyframe (round-4: an unrecorded 3.6 s p99).
-            self.compile_events.append(self._kf_index)
-            self._inflight.pop(key).join()
+            # Only when the thread is still running, though: a finished
+            # prewarm whose compile failed (swallowed) joins instantly —
+            # that keyframe is steady-state and must stay in the p50/p99.
+            th = self._inflight.pop(key)
+            if th.is_alive():
+                self.compile_events.append(self._kf_index)
+            th.join()
         if key not in self._compiled and key not in self._seen:
             # this dispatch traces+compiles (first touch of the bucket)
             if self._kf_index not in self.compile_events:

@@ -180,6 +180,8 @@ def optimize(g: PoseGraph, iterations: int = 5,
     preconditioner stays within a few percent of exact), never
     correctness: the tol exit (relative 1e-5) is the same bar the
     single-inverse path meets. Parity suites pass unchanged."""
+    if iterations <= 0:  # no-op, matching g2o optimize(0) semantics
+        return g
     if _use_cholesky():
         def body(gg, _):
             return gn_step(gg, edge_mask), None
