@@ -64,6 +64,25 @@ class SearchWindows:
     global_dy: float = 5.0
     global_th_res: float = 0.025  # finest θ step of hierarchical search
     global_levels: int = 4        # coarse-to-fine steps ×8,×4,×2,×1
+    # θ trust window around the TRANSMITTED estimate of the foreign
+    # vertex. The reference searches full θ (globalMatching lower/upper
+    # ±M_PI, scan_matcher.cpp:386-388) while trusting the transmitted
+    # POSITION to ±(10,5) m — but its deployments share one map frame
+    # (per-robot initial poses are configured in a common frame,
+    # README.md:77-93), so the transmitted θ deserves the same trust.
+    # Full-θ search in a self-similar corridor accepts π-rotated twin
+    # matches that are mutually consistent and sail through the closure
+    # vote (measured: ATE 1.8 m from exactly this). 1.3 rad (74°) is
+    # generous against inter-map θ drift while excluding the ±π/2
+    # wall-direction symmetries of man-made interiors (a ±π/2 window
+    # re-admits exact quarter-turn aliases at its endpoints — measured).
+    # π restores the reference behavior.
+    global_th_span: float = 1.3
+    # coarse-level survivors of the hierarchical search. 16 loses the
+    # true basin in aliased corridors (the top-16 coarse cells are all
+    # corridor-slide twins of each other); 48 keeps it at negligible
+    # refine cost (tiny vmapped windows).
+    global_branch: int = 48
     # verifyMatching acceptance: box-mean of the unmatched-point distance
     # grid ≤ threshold/kscale meters (scan_matcher.cpp:493-502; kscale=128)
     verify_threshold: float = 40.0
@@ -152,6 +171,17 @@ class MRConfig:
     # parked foreign vertices retried each keyframe with gap 20
     # (mr_graph_slam.cpp:254-329)
     inter_robot_gap: int = 20
+    # global-match coverage gate: score candidates on KNOWN map cells
+    # only (distance-field value below the saturation kernel_radius) and
+    # require this fraction of scan points on known cells. The raw
+    # reference score treats unmapped frontier like far-from-everything
+    # (same saturated value), so the TRUE rendezvous pose — which always
+    # overhangs the local map's edge — scores worse than an aliased pose
+    # buried in covered territory (measured: true 0.26 rejected vs π-twin
+    # 0.06 accepted). 0 disables the gate (reference scoring). 0.55:
+    # measured true rendezvous poses keep ≥0.62 of their points on known
+    # cells while surviving corridor-slide aliases kept 0.33-0.56.
+    global_min_known: float = 0.55
     # global matching window: ±10 vertices around reference (21 total,
     # mr_graph_slam.cpp:172-213)
     global_match_window: int = 10

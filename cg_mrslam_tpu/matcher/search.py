@@ -222,7 +222,10 @@ def hierarchical_search(grid: jax.Array, center: jax.Array,
                         valid: jax.Array, base: jax.Array, *,
                         th_span: float, th_res: float, x_span: float,
                         y_span: float, levels: int = 4,
-                        branch: int = 16) -> SearchResult:
+                        branch: int = 16,
+                        known_cap: float | None = None,
+                        min_known: float = 0.0,
+                        pool_coarse: bool = False) -> SearchResult:
     """Coarse-to-fine search (reference ``hierarchicalSearch``,
     ``chargrid.cpp:310-413``: steps ×2^(levels-1)…×1).
 
@@ -232,11 +235,40 @@ def hierarchical_search(grid: jax.Array, center: jax.Array,
     aliasing in self-similar corridors); each finer level rescans a
     ±previous-step window around every survivor. All shapes static;
     survivors refine via ``vmap``.
+
+    ``known_cap`` switches on COVERAGE-NORMALIZED scoring (the
+    inter-robot rendezvous mode): points landing on saturated distance
+    cells (``grid ≥ known_cap`` — unmapped frontier, indistinguishable
+    from far-from-everything in a pure distance field) are excluded from
+    both the sum and the count, and candidates with fewer than
+    ``min_known`` of their points on known cells score +inf. Without
+    this, the raw reference scoring (chargrid.cpp:260-276) penalizes the
+    TRUE rendezvous pose — which necessarily overhangs the partial local
+    map — by the saturation value per frontier point, so an aliased pose
+    buried inside covered territory wins (the π-twin failure this
+    framework measured at ATE 1.8 m).
+
+    ``pool_coarse`` scores every SUB-FINEST level on a min-pooled copy
+    of the grid (pool window = that level's cell step): the coarse score
+    becomes a LOWER BOUND on the best fine score within the step block
+    (Olson's multi-resolution correlative matching bound — min over the
+    block commutes under the mean), so the true basin cannot fall
+    between coarse samples and be pruned. Point sampling instead loses
+    basins narrower than the step (kernel_radius < step·resolution is
+    typical at step 8), which is exactly how self-similar-corridor
+    aliases outrank the truth at level 0.
     """
     step0 = 2 ** (levels - 1)
 
+    def pooled(g, w):
+        # separable rectangular min-pool (SAME padding keeps geometry)
+        g = -jax.lax.reduce_window(-g, -jnp.inf, jax.lax.max, (w, 1),
+                                   (1, 1), "SAME")
+        return -jax.lax.reduce_window(-g, -jnp.inf, jax.lax.max, (1, w),
+                                      (1, 1), "SAME")
+
     def level_search(b, th_sp, th_st, x_sp, y_sp, cell_step, k,
-                     kind="xla"):
+                     kind="xla", pool=False):
         import numpy as np
 
         rel = make_lattice(th_sp, th_st)
@@ -247,9 +279,24 @@ def hierarchical_search(grid: jax.Array, center: jax.Array,
         tx_np = np.arange(-nx, nx + 1, dtype=np.int32) * cell_step
         ty = jnp.asarray(ty_np)
         tx = jnp.asarray(tx_np)
-        raw = score_volume_auto(grid, center, resolution, points, valid,
-                                jnp.stack([b[0], b[1], jnp.float32(0.0)]),
-                                thetas, ty_np, tx_np, kind=kind)
+        b0 = jnp.stack([b[0], b[1], jnp.float32(0.0)])
+        g = pooled(grid, cell_step) if (pool and cell_step > 1) else grid
+        if known_cap is None:
+            raw = score_volume_auto(g, center, resolution, points,
+                                    valid, b0, thetas, ty_np, tx_np,
+                                    kind=kind)
+        else:
+            known = (g < known_cap).astype(g.dtype)
+            s_m = score_volume_auto(g * known, center, resolution,
+                                    points, valid, b0, thetas, ty_np,
+                                    tx_np, kind=kind)
+            s_i = score_volume_auto(known, center, resolution, points,
+                                    valid, b0, thetas, ty_np, tx_np,
+                                    kind=kind)
+            # s_m = Σ_known dist / count, s_i = known_count / count →
+            # mean over known = s_m / s_i; coverage fraction = s_i
+            raw = s_m / jnp.maximum(s_i, 1e-6)
+            raw = jnp.where(s_i >= min_known, raw, jnp.float32(1e3))
         scores = raw + _offset_penalty(rel, ty, tx, resolution, TIEBREAK)
         return volume_topk(scores, jnp.stack([b[0], b[1], 0.0]), thetas,
                            ty, tx, resolution, k, report=raw)
@@ -258,7 +305,7 @@ def hierarchical_search(grid: jax.Array, center: jax.Array,
     # pallas kind (big span, not vmapped); refine levels stay "xla"
     # (tiny ≤3×3×3 windows under vmap, launch overhead would dominate)
     res0 = level_search(base, th_span, th_res * step0, x_span, y_span,
-                        step0, branch, kind="strided")
+                        step0, branch, kind="strided", pool=pool_coarse)
     poses, scores = res0.poses, res0.scores
 
     step = step0
@@ -267,7 +314,7 @@ def hierarchical_search(grid: jax.Array, center: jax.Array,
         step //= 2
         fn = lambda b: level_search(  # noqa: E731 — closure over step
             b, th_res * prev, th_res * step, resolution * prev,
-            resolution * prev, step, 1
+            resolution * prev, step, 1, pool=pool_coarse
         )
         refined = jax.vmap(fn)(poses)
         poses = refined.poses[:, 0]

@@ -323,17 +323,28 @@ def _local_map_grid(st: MRState, cfg: Config, window: int):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def try_match_parked(st: MRState, cfg: Config) -> MRState:
-    """Attempt global matching of the oldest parked foreign vertex
+    """Attempt global matching of the NEWEST parked foreign vertex
     against my local map (``findInterRobotConstraints``,
-    ``mr_graph_slam.cpp:254-329``). One attempt per keyframe bounds the
-    (expensive) full-θ hierarchical search; unmatched vertices age out
-    after ``inter_robot_gap`` retries (``:328``)."""
+    ``mr_graph_slam.cpp:254-329``). The reference retries EVERY parked
+    vertex per keyframe; one attempt per keyframe bounds the (expensive)
+    hierarchical search, and newest-first picks the vertex most likely
+    to overlap the local map (the peer transmitted it from inside comm
+    range moments ago — the oldest parked vertex is the one whose
+    surroundings the map window has long scrolled past). Unmatched
+    vertices age out after ``inter_robot_gap`` keyframes (``:328``).
+
+    The search trusts the TRANSMITTED pose: position to ±(global_dx,
+    global_dy) like the reference (scan_matcher.cpp:386-388) and θ to
+    ±global_th_span (deviation: the reference searches full θ — see
+    config.SearchWindows.global_th_span), and scores candidates on known
+    map cells only with a coverage floor (see config.MRConfig.
+    global_min_known / matcher.search.hierarchical_search)."""
     from cg_mrslam_tpu.matcher.search import hierarchical_search
 
     slam = st.slam
     n = slam.v_owner.shape[0]
-    age = jnp.where(st.parked, st.park_age, -1)
-    cand = jnp.argmax(age).astype(jnp.int32)
+    freshness = jnp.where(st.parked, -st.park_age, jnp.int32(-(1 << 30)))
+    cand = jnp.argmax(freshness).astype(jnp.int32)
     has = st.parked[cand]
 
     grid, center, my_ref, map_world, map_valid = _local_map_grid(
@@ -343,11 +354,15 @@ def try_match_parked(st: MRState, cfg: Config) -> MRState:
     cur_valid = cur_valid & slam.scans.smask[cand]
 
     w = cfg.windows
+    kr = cfg.lc_matcher.kernel_radius
     res = hierarchical_search(
         grid, center, cfg.lc_matcher.resolution, cur_pts, cur_valid,
         slam.graph.poses[cand].at[:2].set(center),
-        th_span=jnp.pi, th_res=w.global_th_res,
-        x_span=w.global_dx, y_span=w.global_dy, levels=w.global_levels)
+        th_span=w.global_th_span, th_res=w.global_th_res,
+        x_span=w.global_dx, y_span=w.global_dy, levels=w.global_levels,
+        branch=w.global_branch,
+        known_cap=(kr * 0.999 if cfg.mr.global_min_known > 0 else None),
+        min_known=cfg.mr.global_min_known, pool_coarse=True)
     pose, score = res.poses[0], res.scores[0]
     ok = has & (score < cfg.mr.max_score_mr)
 

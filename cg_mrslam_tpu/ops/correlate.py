@@ -86,6 +86,142 @@ def _make_kernel(dyp: int, dxp: int, n_points: int):
     return kernel
 
 
+_UNROLL = 4  # points per fori_loop body in the branchless variants
+
+
+def _make_kernel_v1(dyp: int, dxp: int, n_points: int):
+    """Branchless + unrolled: skipped points are routed to the (0,0)
+    zero-margin anchor XLA-side (their retained window reads only
+    padding), so the ``pl.when`` branch — a scalar-pipeline bubble per
+    point — goes away entirely. ``_UNROLL`` points per loop body feed
+    round-robin into independent accumulators, breaking the
+    add-after-add dependency chain so loads/rolls of consecutive points
+    pipeline. Requires P padded to a multiple of ``_UNROLL``."""
+    dy2, dx2 = dyp + 8, dxp + 128
+    assert n_points % _UNROLL == 0
+
+    def kernel(iy0_ref, ix0_ref, keep_ref, count_ref, grid_ref, out_ref,
+               *accs):
+        for tt in range(_TCHUNK):
+            for a in accs:
+                a[:] = jnp.zeros((dy2, dx2), jnp.float32)
+
+            def body(i, _, tt=tt):
+                for u in range(_UNROLL):
+                    p = i * _UNROLL + u
+                    y0 = iy0_ref[tt, p]
+                    x0 = ix0_ref[tt, p]
+                    ya = (y0 // 8) * 8
+                    xa = (x0 // 128) * 128
+                    tile = grid_ref[pl.ds(ya, dy2), pl.ds(xa, dx2)]
+                    tile = pltpu.roll(tile, dy2 - (y0 - ya), 0)
+                    tile = pltpu.roll(tile, dx2 - (x0 - xa), 1)
+                    accs[u][:, :] += tile
+                return _
+
+            jax.lax.fori_loop(0, n_points // _UNROLL, body, 0)
+            tot = accs[0][:dyp, :dxp]
+            for a in accs[1:]:
+                tot = tot + a[:dyp, :dxp]
+            out_ref[tt] = tot / count_ref[tt, 0]
+
+    return kernel
+
+
+def _make_kernel_v2(dyp: int, dxp: int, n_points: int):
+    """v1 + sublane-phase planes: instead of the dynamic sublane roll,
+    each point accumulates its tile (x-rolled only) into the plane of
+    its y-phase ``y0 mod 8``; after the point loop the 8 planes are
+    combined with STATIC sublane rolls (8 per θ instead of one dynamic
+    roll per point). Dynamic rolls decompose into log-many conditional
+    shifts on the VPU — the sublane one is pure overhead when the phase
+    only spans 8 values."""
+    dy2, dx2 = dyp + 8, dxp + 128
+    assert n_points % _UNROLL == 0
+
+    def kernel(iy0_ref, ix0_ref, keep_ref, count_ref, grid_ref, out_ref,
+               planes):
+        for tt in range(_TCHUNK):
+            planes[:] = jnp.zeros((2 * 8, dy2, dx2), jnp.float32)
+
+            def body(i, _, tt=tt):
+                for u in range(_UNROLL):
+                    p = i * _UNROLL + u
+                    y0 = iy0_ref[tt, p]
+                    x0 = ix0_ref[tt, p]
+                    ya = (y0 // 8) * 8
+                    ph = y0 - ya
+                    xa = (x0 // 128) * 128
+                    tile = grid_ref[pl.ds(ya, dy2), pl.ds(xa, dx2)]
+                    tile = pltpu.roll(tile, dx2 - (x0 - xa), 1)
+                    slot = ph + 8 * (u % 2)   # 2 plane banks break the
+                    planes[slot] += tile      # dependence on same-phase
+                return _
+
+            jax.lax.fori_loop(0, n_points // _UNROLL, body, 0)
+            tot = jnp.zeros((dy2, dx2), jnp.float32)
+            for ph in range(8):
+                bank = planes[ph] + planes[ph + 8]
+                tot = tot + pltpu.roll(bank, (dy2 - ph) % dy2, 0)
+            out_ref[tt] = tot[:dyp, :dxp] / count_ref[tt, 0]
+
+    return kernel
+
+
+def _make_kernel_v3(dyp: int, dxp: int, n_points: int):
+    """v2 with the per-point scalar work minimized: the aligned anchors
+    (ya, xa) and residual phases (ph, sx) are precomputed XLA-side and
+    land in SMEM, so the loop body is two aligned loads of scalars, one
+    aligned tile fetch, one dynamic lane roll, one plane add — no
+    division/rounding on the scalar core per point. The tile is also a
+    full sublane quantum shorter: the y-phase planes only ever retain
+    rows ph..ph+dy-1 ≤ dyp-1, so the +8 sublane margin of v0-v2 (needed
+    by the modular roll) is dead weight here."""
+    dy2, dx2 = dyp, dxp + 128          # tight: dyp ≥ dy+7 by caller
+    assert n_points % _UNROLL == 0
+
+    def kernel(ya_ref, ph_ref, xa_ref, sx_ref, count_ref, grid_ref,
+               out_ref, planes):
+        for tt in range(_TCHUNK):
+            planes[:] = jnp.zeros((2 * 8, dy2, dx2), jnp.float32)
+
+            def body(i, _, tt=tt):
+                for u in range(_UNROLL):
+                    p = i * _UNROLL + u
+                    ya = pl.multiple_of(ya_ref[tt, p], 8)
+                    xa = pl.multiple_of(xa_ref[tt, p], 128)
+                    tile = grid_ref[pl.ds(ya, dy2), pl.ds(xa, dx2)]
+                    tile = pltpu.roll(tile, dx2 - sx_ref[tt, p], 1)
+                    planes[ph_ref[tt, p] + 8 * (u % 2)] += tile
+                return _
+
+            jax.lax.fori_loop(0, n_points // _UNROLL, body, 0)
+            tot = jnp.zeros((dy2, dx2), jnp.float32)
+            for ph in range(8):
+                bank = planes[ph] + planes[ph + 8]
+                tot = tot + pltpu.roll(bank, (dy2 - ph) % dy2, 0)
+            out_ref[tt] = tot[:dyp, :dxp] / count_ref[tt, 0]
+
+    return kernel
+
+
+_KERNELS = {"v0": _make_kernel, "v1": _make_kernel_v1,
+            "v2": _make_kernel_v2, "v3": _make_kernel_v3}
+VARIANTS = ("v0", "v1", "v2", "v3")
+
+
+def _scratch_for(variant: str, dyp: int, dxp: int):
+    dy2, dx2 = dyp + 8, dxp + 128
+    if variant == "v0":
+        return [pltpu.VMEM((dy2, dx2), jnp.float32)]
+    if variant == "v1":
+        return [pltpu.VMEM((dy2, dx2), jnp.float32)
+                for _ in range(_UNROLL)]
+    if variant == "v3":
+        return [pltpu.VMEM((2 * 8, dyp, dx2), jnp.float32)]
+    return [pltpu.VMEM((2 * 8, dy2, dx2), jnp.float32)]
+
+
 def _tile_elems(dy: int, dx: int) -> int:
     """Elements of the aligned fetch tile serving a [dy, dx] window."""
     return (_round_up(dy, 8) + 8) * (_round_up(dx, 128) + 128)
@@ -93,10 +229,12 @@ def _tile_elems(dy: int, dx: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resolution", "n_theta", "ry", "rx", "interpret"),
+    static_argnames=("resolution", "n_theta", "ry", "rx", "interpret",
+                     "variant"),
 )
 def _pallas_volume_oriented(grid, center, points, valid, base, thetas, *,
-                            resolution, n_theta, ry, rx, interpret):
+                            resolution, n_theta, ry, rx, interpret,
+                            variant="v2"):
     """Orientation dispatcher: the kernel's per-point fetch tile pads the
     window to (⌈dy/8⌉·8+8) sublanes × (⌈dx/128⌉·128+128) lanes, so a tall
     skinny window (the LC search: 31×11) wastes ~1.7× less when its LONG
@@ -114,22 +252,28 @@ def _pallas_volume_oriented(grid, center, points, valid, base, thetas, *,
             grid.T, center[::-1], points[:, ::-1], valid,
             jnp.stack([base[1], base[0], -base[2]]), -thetas,
             resolution=resolution, n_theta=n_theta, ry=rx, rx=ry,
-            interpret=interpret)                      # [T, dx, dy]
+            interpret=interpret, variant=variant)     # [T, dx, dy]
         return jnp.swapaxes(vol, -1, -2)
     return _pallas_volume(grid, center, points, valid, base, thetas,
                           resolution=resolution, n_theta=n_theta,
-                          ry=ry, rx=rx, interpret=interpret)
+                          ry=ry, rx=rx, interpret=interpret,
+                          variant=variant)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resolution", "n_theta", "ry", "rx", "interpret"),
+    static_argnames=("resolution", "n_theta", "ry", "rx", "interpret",
+                     "variant"),
 )
 def _pallas_volume(grid, center, points, valid, base, thetas, *,
-                   resolution, n_theta, ry, rx, interpret):
+                   resolution, n_theta, ry, rx, interpret,
+                   variant="v2"):
     cells = grid.shape[0]
     dy, dx = 2 * ry + 1, 2 * rx + 1
-    dyp = _round_up(dy, 8)
+    # v3 retains tile rows ph..ph+dy-1 directly (no modular sublane
+    # roll), so its tile is exactly dyp sublanes with dyp ≥ dy+7; the
+    # rolling variants need the +8 overshoot row block on top of dyp.
+    dyp = _round_up(dy + 7, 8) if variant == "v3" else _round_up(dy, 8)
     dxp = _round_up(dx, 128)
     my = dyp            # zero margin ≥ one patch: clamped reads stay in it
     mx = dxp
@@ -167,6 +311,12 @@ def _pallas_volume(grid, center, points, valid, base, thetas, *,
     ix0 = jnp.where(keep, ix0, 0)
 
     p = points.shape[0]
+    if variant != "v0":               # unrolled variants need P % UNROLL
+        p = _round_up(p, _UNROLL)
+        pad_p = [(0, 0), (0, p - iy0.shape[1])]
+        iy0 = jnp.pad(iy0, pad_p)     # padded points read the zero corner
+        ix0 = jnp.pad(ix0, pad_p)
+        keep = jnp.pad(keep, pad_p)
     tp = _round_up(n_theta, _TCHUNK)
     pad_t = [(0, tp - n_theta), (0, 0)]
     iy0 = jnp.pad(iy0, pad_t)          # padded θs read the zero corner
@@ -174,16 +324,17 @@ def _pallas_volume(grid, center, points, valid, base, thetas, *,
     keep_i = jnp.pad(keep.astype(jnp.int32), pad_t)  # padded θs all skip
     count = jnp.pad(count, (0, tp - n_theta), constant_values=1.0)
 
+    smem = lambda: pl.BlockSpec((_TCHUNK, p), lambda t: (t, 0),
+                                memory_space=pltpu.SMEM)
+    if variant == "v3":
+        ya = (iy0 // 8) * 8
+        ins = (ya, iy0 - ya, (ix0 // 128) * 128, ix0 % 128)
+    else:
+        ins = (iy0, ix0, keep_i)
     out = pl.pallas_call(
-        _make_kernel(dyp, dxp, p),
+        _KERNELS[variant](dyp, dxp, p),
         grid=(tp // _TCHUNK,),
-        in_specs=[
-            pl.BlockSpec((_TCHUNK, p), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),          # iy0
-            pl.BlockSpec((_TCHUNK, p), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),          # ix0
-            pl.BlockSpec((_TCHUNK, p), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),          # keep
+        in_specs=[smem() for _ in ins] + [
             pl.BlockSpec((_TCHUNK, 1), lambda t: (t, 0),
                          memory_space=pltpu.SMEM),          # count
             pl.BlockSpec((hp, wp), lambda t: (0, 0),
@@ -192,14 +343,14 @@ def _pallas_volume(grid, center, points, valid, base, thetas, *,
         out_specs=pl.BlockSpec((_TCHUNK, dyp, dxp), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tp, dyp, dxp), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((dyp + 8, dxp + 128), jnp.float32)],
+        scratch_shapes=_scratch_for(variant, dyp, dxp),
         cost_estimate=pl.CostEstimate(
             flops=tp * p * dyp * dxp,
             bytes_accessed=tp * p * dyp * dxp * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(iy0, ix0, keep_i, count[:, None], g)
+    )(*ins, count[:, None], g)
     return out[:n_theta, :dy, :dx]
 
 
@@ -207,7 +358,8 @@ def pallas_score_volume(grid: jax.Array, center: jax.Array,
                         resolution: float, points: jax.Array,
                         valid: jax.Array, base: jax.Array,
                         thetas: jax.Array, ty_cells, tx_cells, *,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        variant: str = "v2") -> jax.Array:
     """Drop-in for :func:`matcher.search.score_volume` on step-1 lattices.
 
     ``ty_cells``/``tx_cells`` must be contiguous symmetric ranges
@@ -218,7 +370,7 @@ def pallas_score_volume(grid: jax.Array, center: jax.Array,
     return _pallas_volume_oriented(
         grid, center, points, valid, base, thetas,
         resolution=float(resolution), n_theta=len(thetas),
-        ry=ry, rx=rx, interpret=interpret)
+        ry=ry, rx=rx, interpret=interpret, variant=variant)
 
 
 def lattice_is_contiguous(cells_arr) -> bool:
@@ -234,7 +386,8 @@ def pallas_score_volume_strided(grid: jax.Array, center: jax.Array,
                                 resolution: float, points: jax.Array,
                                 valid: jax.Array, base: jax.Array,
                                 thetas: jax.Array, ty_cells, tx_cells, *,
-                                interpret: bool = False) -> jax.Array:
+                                interpret: bool = False,
+                                variant: str = "v2") -> jax.Array:
     """Score volume for an ARBITRARY (e.g. strided) translation lattice.
 
     The patch kernel's per-point cost is one aligned tile fetch covering
@@ -254,5 +407,6 @@ def pallas_score_volume_strided(grid: jax.Array, center: jax.Array,
     vol = _pallas_volume_oriented(
         grid, center, points, valid, base, thetas,
         resolution=float(resolution), n_theta=len(thetas),
-        ry=ry, rx=rx, interpret=interpret)          # [T, 2ry+1, 2rx+1]
+        ry=ry, rx=rx, interpret=interpret,
+        variant=variant)                            # [T, 2ry+1, 2rx+1]
     return vol[:, ty + ry][:, :, tx + rx]
