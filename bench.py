@@ -230,6 +230,37 @@ def bench_merged(batch: int = 512):
     return batch / dt, dt, c0, c1, meta
 
 
+def bench_merged_4096(batch: int = 4096, chunk: int = 512):
+    """BASELINE config 4: 4096 noise-perturbed replays of the 2-robot
+    merged graph solved per chip. One dispatch at 4096 needs 66 GB of
+    HBM temporaries (measured OOM: 65.72G/15.75G — the per-edge
+    linearization blocks scale with batch), so the program is a
+    ``lax.map`` over ``batch/chunk`` slabs: one slab's temporaries live
+    at a time, XLA reuses the buffers, the whole workload is still a
+    single device program. Single timed call (the row costs ~40 s)."""
+    from cg_mrslam_tpu.core.linearize import chi2
+    from cg_mrslam_tpu.solver.pcg import optimize_pcg
+
+    g, order, _ = build_merged_batch(batch)
+    g = jax.tree_util.tree_map(
+        lambda a: a.reshape((batch // chunk, chunk) + a.shape[1:]), g)
+    step = jax.jit(lambda gb: jax.lax.map(jax.vmap(
+        lambda gg: optimize_pcg(gg, iterations=5, order=order,
+                                cg_iters=MERGED_PCG_ITERS)), gb))
+    jax.block_until_ready(step(g))               # compile
+    g2 = jax.block_until_ready(
+        dataclasses.replace(g, poses=g.poses + 1e-4))
+    t0 = time.perf_counter()
+    out = step(g2)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    dt = time.perf_counter() - t0
+    cfun = jax.jit(jax.vmap(jax.vmap(chi2)))
+    c0 = float(cfun(g2).mean())
+    c1 = float(cfun(out).mean())
+    assert np.isfinite(c1) and c1 < 1e-3 * c0, (c0, c1)
+    return batch / dt, dt, c0, c1
+
+
 def bench_hospital(batch: int = 512):
     """Continuity row: the single-robot-shaped graph of rounds 1-2."""
     from cg_mrslam_tpu.core.linearize import chi2
@@ -405,6 +436,7 @@ def main():
         return
 
     solves_s, dt, c0, c1, meta = bench_merged()
+    s4096, dt4096, c04, c14 = bench_merged_4096()
     (p50, p99, n_kf, n_excl, floor_ms,
      per_bucket) = bench_keyframe_latency()
     hosp = bench_hospital()
@@ -439,6 +471,14 @@ def main():
             "merged_structure": {
                 k: meta[k] for k in ("chain_class_edges",
                                      "loop_class_edges") if k in meta},
+            "merged_4096_replicas": {
+                "solves_per_s": round(s4096, 1),
+                "wall_s": round(dt4096, 2),
+                "chi2_mean_drop": [round(c04, 1), round(c14, 4)],
+                "note": ("BASELINE config 4: 4096 concurrent noise-"
+                         "perturbed replays per chip, lax.map over 8 "
+                         "slabs of 512 (one-dispatch HBM temporaries "
+                         "would need 66 GB)")},
             "chain_operating_point_hospital_row": dict(CHAIN_KW),
             "keyframe_latency_ms": {
                 "p50": round(p50, 1), "p99": round(p99, 1),

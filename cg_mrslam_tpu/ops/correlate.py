@@ -86,7 +86,7 @@ def _make_kernel(dyp: int, dxp: int, n_points: int):
     return kernel
 
 
-_UNROLL = 4  # points per fori_loop body in the branchless variants
+_UNROLL = 8  # points per fori_loop body in the branchless variants
 
 
 def _make_kernel_v1(dyp: int, dxp: int, n_points: int):
@@ -205,9 +205,71 @@ def _make_kernel_v3(dyp: int, dxp: int, n_points: int):
     return kernel
 
 
+def _make_kernel_x1(dyp: int, dxp: int, n_points: int):
+    """TIMING PROBE ONLY (wrong results): v3 without the dynamic lane
+    roll — isolates whether the roll or the scalar-issue path bounds the
+    per-point cost."""
+    dy2, dx2 = dyp, dxp + 128
+    assert n_points % _UNROLL == 0
+
+    def kernel(ya_ref, ph_ref, xa_ref, sx_ref, count_ref, grid_ref,
+               out_ref, planes):
+        for tt in range(_TCHUNK):
+            planes[:] = jnp.zeros((2 * 8, dy2, dx2), jnp.float32)
+
+            def body(i, _, tt=tt):
+                for u in range(_UNROLL):
+                    p = i * _UNROLL + u
+                    ya = pl.multiple_of(ya_ref[tt, p], 8)
+                    xa = pl.multiple_of(xa_ref[tt, p], 128)
+                    tile = grid_ref[pl.ds(ya, dy2), pl.ds(xa, dx2)]
+                    planes[ph_ref[tt, p] + 8 * (u % 2)] += tile
+                return _
+
+            jax.lax.fori_loop(0, n_points // _UNROLL, body, 0)
+            tot = jnp.zeros((dy2, dx2), jnp.float32)
+            for ph in range(8):
+                bank = planes[ph] + planes[ph + 8]
+                tot = tot + pltpu.roll(bank, (dy2 - ph) % dy2, 0)
+            out_ref[tt] = tot[:dyp, :dxp] / count_ref[tt, 0]
+
+    return kernel
+
+
+def _make_kernel_x2(dyp: int, dxp: int, n_points: int):
+    """TIMING PROBE ONLY (wrong results): x1 with CONSTANT anchors —
+    isolates the dynamic-address path (SMEM scalar reads + slice address
+    generation) from the raw load+accumulate cost."""
+    dy2, dx2 = dyp, dxp + 128
+    assert n_points % _UNROLL == 0
+
+    def kernel(ya_ref, ph_ref, xa_ref, sx_ref, count_ref, grid_ref,
+               out_ref, planes):
+        for tt in range(_TCHUNK):
+            planes[:] = jnp.zeros((2 * 8, dy2, dx2), jnp.float32)
+
+            def body(i, _, tt=tt):
+                for u in range(_UNROLL):
+                    tile = grid_ref[pl.ds(8 * u, dy2),
+                                    pl.ds(128 * (u % 3), dx2)]
+                    planes[(u % 8) + 8 * (u % 2)] += tile
+                return _
+
+            jax.lax.fori_loop(0, n_points // _UNROLL, body, 0)
+            tot = jnp.zeros((dy2, dx2), jnp.float32)
+            for ph in range(8):
+                bank = planes[ph] + planes[ph + 8]
+                tot = tot + pltpu.roll(bank, (dy2 - ph) % dy2, 0)
+            out_ref[tt] = tot[:dyp, :dxp] / count_ref[tt, 0]
+
+    return kernel
+
+
 _KERNELS = {"v0": _make_kernel, "v1": _make_kernel_v1,
-            "v2": _make_kernel_v2, "v3": _make_kernel_v3}
+            "v2": _make_kernel_v2, "v3": _make_kernel_v3,
+            "x1": _make_kernel_x1, "x2": _make_kernel_x2}
 VARIANTS = ("v0", "v1", "v2", "v3")
+PROBE_VARIANTS = ("x1", "x2")  # timing probes — intentionally wrong
 
 
 def _scratch_for(variant: str, dyp: int, dxp: int):
@@ -217,7 +279,7 @@ def _scratch_for(variant: str, dyp: int, dxp: int):
     if variant == "v1":
         return [pltpu.VMEM((dy2, dx2), jnp.float32)
                 for _ in range(_UNROLL)]
-    if variant == "v3":
+    if variant in ("v3", "x1", "x2"):
         return [pltpu.VMEM((2 * 8, dyp, dx2), jnp.float32)]
     return [pltpu.VMEM((2 * 8, dy2, dx2), jnp.float32)]
 
@@ -234,7 +296,7 @@ def _tile_elems(dy: int, dx: int) -> int:
 )
 def _pallas_volume_oriented(grid, center, points, valid, base, thetas, *,
                             resolution, n_theta, ry, rx, interpret,
-                            variant="v2"):
+                            variant="v3"):
     """Orientation dispatcher: the kernel's per-point fetch tile pads the
     window to (⌈dy/8⌉·8+8) sublanes × (⌈dx/128⌉·128+128) lanes, so a tall
     skinny window (the LC search: 31×11) wastes ~1.7× less when its LONG
@@ -267,13 +329,14 @@ def _pallas_volume_oriented(grid, center, points, valid, base, thetas, *,
 )
 def _pallas_volume(grid, center, points, valid, base, thetas, *,
                    resolution, n_theta, ry, rx, interpret,
-                   variant="v2"):
+                   variant="v3"):
     cells = grid.shape[0]
     dy, dx = 2 * ry + 1, 2 * rx + 1
     # v3 retains tile rows ph..ph+dy-1 directly (no modular sublane
     # roll), so its tile is exactly dyp sublanes with dyp ≥ dy+7; the
     # rolling variants need the +8 overshoot row block on top of dyp.
-    dyp = _round_up(dy + 7, 8) if variant == "v3" else _round_up(dy, 8)
+    dyp = (_round_up(dy + 7, 8) if variant in ("v3", "x1", "x2")
+           else _round_up(dy, 8))
     dxp = _round_up(dx, 128)
     my = dyp            # zero margin ≥ one patch: clamped reads stay in it
     mx = dxp
@@ -326,7 +389,7 @@ def _pallas_volume(grid, center, points, valid, base, thetas, *,
 
     smem = lambda: pl.BlockSpec((_TCHUNK, p), lambda t: (t, 0),
                                 memory_space=pltpu.SMEM)
-    if variant == "v3":
+    if variant in ("v3", "x1", "x2"):
         ya = (iy0 // 8) * 8
         ins = (ya, iy0 - ya, (ix0 // 128) * 128, ix0 % 128)
     else:
@@ -359,7 +422,7 @@ def pallas_score_volume(grid: jax.Array, center: jax.Array,
                         valid: jax.Array, base: jax.Array,
                         thetas: jax.Array, ty_cells, tx_cells, *,
                         interpret: bool = False,
-                        variant: str = "v2") -> jax.Array:
+                        variant: str = "v3") -> jax.Array:
     """Drop-in for :func:`matcher.search.score_volume` on step-1 lattices.
 
     ``ty_cells``/``tx_cells`` must be contiguous symmetric ranges
@@ -387,7 +450,7 @@ def pallas_score_volume_strided(grid: jax.Array, center: jax.Array,
                                 valid: jax.Array, base: jax.Array,
                                 thetas: jax.Array, ty_cells, tx_cells, *,
                                 interpret: bool = False,
-                                variant: str = "v2") -> jax.Array:
+                                variant: str = "v3") -> jax.Array:
     """Score volume for an ARBITRARY (e.g. strided) translation lattice.
 
     The patch kernel's per-point cost is one aligned tile fetch covering

@@ -133,8 +133,13 @@ def fleet_round_sharded(states: MR.MRState, conn: jax.Array, cfg: Config,
                         mesh: Mesh) -> MR.MRState:
     """Same round as an SPMD program over the mesh's ``robots`` axis.
 
-    Each device builds its robot's messages, the tables are gathered over
-    ICI with ``all_gather``, and the device consumes its column."""
+    Each device builds its robots' messages, the tables are gathered
+    over ICI with ``all_gather``, and the device consumes its columns.
+    The shard may hold a BLOCK of robots (R / n_devices > 1 — e.g. a
+    64-robot fleet on 8 devices): the per-robot protocol logic is
+    ``vmap``-ed over the local block, so every device runs one fused
+    program for its whole block and the collective payload per round
+    stays the three gathered message tables."""
     try:
         from jax import shard_map
     except ImportError:  # older jax
@@ -143,56 +148,65 @@ def fleet_round_sharded(states: MR.MRState, conn: jax.Array, cfg: Config,
     rr = conn.shape[0]
 
     def body(st_local, conn_full):
-        # one robot per shard row (shard size 1)
         me = jax.lax.axis_index("robots")
+        loc = st_local.slam.my_id.shape[0]       # robots on this shard
         rids = jnp.arange(rr, dtype=jnp.int32)
         gather = partial(jax.lax.all_gather, axis_name="robots",
                          tiled=True)
+        my_conn = jax.lax.dynamic_slice_in_dim(conn_full, me * loc, loc,
+                                               axis=0)     # [loc, R]
 
-        def squeeze(st):
-            return jax.tree_util.tree_map(lambda a: a[0], st)
+        # phase 1: combos — build local block, gather, consume per robot
+        combos = jax.tree_util.tree_map(
+            gather, jax.vmap(MR.build_combo)(st_local))      # [R, ...]
 
-        def unsqueeze(st):
-            return jax.tree_util.tree_map(lambda a: a[None], st)
+        def rx_combos(st, conn_row):
+            def rx_combo(s, t):
+                combo, live = t
+                return MR.receive_combo(s, combo, live), None
 
-        st = squeeze(st_local)
+            st, _ = jax.lax.scan(rx_combo, st, (combos, conn_row))
+            st = MR.try_match_parked(st, cfg)
+            return MR.vote_inter_robot(st, cfg)
 
-        # phase 1: combos — build local, gather, consume, match + vote
-        combos = jax.tree_util.tree_map(gather,
-                                        unsqueeze(MR.build_combo(st)))
-
-        def rx_combo(s, t):
-            combo, live = t
-            return MR.receive_combo(s, combo, live), None
-
-        st, _ = jax.lax.scan(rx_combo, st, (combos, conn_full[me]))
-        st = MR.try_match_parked(st, cfg)
-        st = MR.vote_inter_robot(st, cfg)
+        st_local = jax.vmap(rx_combos)(st_local, my_conn)
 
         # phase 2: closure lists built from the POST-vote state
-        lists_l = jax.vmap(lambda p: MR.build_closure_list(
-            st, p, cap=cfg.mr.closure_list_cap))(rids)
-        lists = jax.tree_util.tree_map(gather, unsqueeze(lists_l))
+        lists_l = jax.vmap(lambda st: jax.vmap(
+            lambda p: MR.build_closure_list(
+                st, p, cap=cfg.mr.closure_list_cap))(rids))(st_local)
+        lists = jax.tree_util.tree_map(gather, lists_l)  # [R_src, R_dst]
 
-        def rx_list(s, t):
-            src, cl, live = t
-            return MR.receive_closure_list(s, src, cl, live), None
+        def rx_lists(st, gid, conn_row):
+            my_lists = jax.tree_util.tree_map(lambda a: a[:, gid], lists)
 
-        my_lists = jax.tree_util.tree_map(lambda a: a[:, me], lists)
-        st, _ = jax.lax.scan(rx_list, st, (rids, my_lists, conn_full[me]))
+            def rx_list(s, t):
+                src, cl, live = t
+                return MR.receive_closure_list(s, src, cl, live), None
+
+            st, _ = jax.lax.scan(rx_list, st, (rids, my_lists, conn_row))
+            return st
+
+        gids = me * loc + jnp.arange(loc, dtype=jnp.int32)
+        st_local = jax.vmap(rx_lists)(st_local, gids, my_conn)
 
         # phase 3: stars built from the POST-list state
-        stars_l = jax.vmap(lambda p: MR.build_star(
-            st, p, cap=cfg.mr.star_edges_cap))(rids)
-        stars = jax.tree_util.tree_map(gather, unsqueeze(stars_l))
+        stars_l = jax.vmap(lambda st: jax.vmap(
+            lambda p: MR.build_star(
+                st, p, cap=cfg.mr.star_edges_cap))(rids))(st_local)
+        stars = jax.tree_util.tree_map(gather, stars_l)
 
-        def rx_star(s, t):
-            src, msg, live = t
-            return MR.receive_star(s, src, msg, live), None
+        def rx_stars(st, gid, conn_row):
+            my_stars = jax.tree_util.tree_map(lambda a: a[:, gid], stars)
 
-        my_stars = jax.tree_util.tree_map(lambda a: a[:, me], stars)
-        st, _ = jax.lax.scan(rx_star, st, (rids, my_stars, conn_full[me]))
-        return unsqueeze(st)
+            def rx_star(s, t):
+                src, msg, live = t
+                return MR.receive_star(s, src, msg, live), None
+
+            st, _ = jax.lax.scan(rx_star, st, (rids, my_stars, conn_row))
+            return st
+
+        return jax.vmap(rx_stars)(st_local, gids, my_conn)
 
     # check_vma=False: jax 0.9's static varying-axes typing rejects the
     # receive scans' carry (replicated scalars like the scan geometry

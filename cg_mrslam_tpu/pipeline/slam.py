@@ -194,7 +194,8 @@ def _covariance_gate(g: PoseGraph, cur, reps, rvalid, cfg: Config,
         loop_cap=cfg.slam.loop_cap,
         chain_cg_iters=cfg.slam.gate_cg_iters,
         chain_cg_tol=cfg.slam.gate_cg_tol,
-        pcg_cg_iters=cfg.slam.gate_pcg_iters)               # [K,3,3]
+        pcg_cg_iters=cfg.slam.gate_pcg_iters,
+        chol=True)  # live path is batch-1: factorize, don't invert
     delta = g.poses[reps, :2] - g.poses[cur, :2]            # [K,2]
     dist = jnp.linalg.norm(delta, axis=-1)
     scale = jnp.maximum(dist - cfg.slam.perception_range_deflate, 0.0) / (
@@ -372,7 +373,8 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
                          loop_cap=cfg.slam.loop_cap,
                          chain_cg_iters=cfg.slam.chain_cg_iters,
                          chain_cg_tol=cfg.slam.chain_cg_tol,
-                         pcg_iters=cfg.slam.pcg_cg_iters)
+                         pcg_iters=cfg.slam.pcg_cg_iters,
+                         chol=True)  # batch-1 live path
 
     dist = GD.bounded_distances(g, cur)
     sets = GD.candidate_sets(
@@ -448,7 +450,8 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
                          loop_cap=cfg.slam.loop_cap,
                          chain_cg_iters=cfg.slam.chain_cg_iters,
                          chain_cg_tol=cfg.slam.chain_cg_tol,
-                         pcg_iters=cfg.slam.pcg_cg_iters)
+                         pcg_iters=cfg.slam.pcg_cg_iters,
+                         chol=True)  # batch-1 live path
 
     from cg_mrslam_tpu.core.linearize import chi2
     state = dataclasses.replace(state, graph=g, buffer=buf)

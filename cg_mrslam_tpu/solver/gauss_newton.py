@@ -126,7 +126,8 @@ def _use_cholesky() -> bool:
     return os.environ.get("CG_MRSLAM_CHOLESKY", "0") == "1"
 
 
-def solve_normal_equations(eq: NormalEq, damping: jax.Array | float = 0.0):
+def solve_normal_equations(eq: NormalEq, damping: jax.Array | float = 0.0,
+                           chol: bool = False):
     """dx = -(H + λ·diag-aug)⁻¹ b. λ=0 → pure Gauss–Newton.
 
     Default path: explicit SPD inverse by recursive block-Schur matmuls
@@ -138,11 +139,16 @@ def solve_normal_equations(eq: NormalEq, damping: jax.Array | float = 0.0):
     accurate, and the rescue when f32 conditioning defeats it (a real
     multi-robot Hessian with a condensed-star hub reached κ≈3·10⁵, where
     the raw inverse came back with O(1) residual on TPU).
-    ``CG_MRSLAM_CHOLESKY=1`` restores the factorization path."""
+    ``chol=True`` (or ``CG_MRSLAM_CHOLESKY=1`` globally) selects the
+    factorization path instead: the right call at BATCH 1 — the live
+    engine — where a single [768²] cho_factor+solve is ~0.2 ms on chip
+    while the block-Schur inverse chain costs ~8 ms (the inverse's
+    advantage is batched throughput, where vmapped Cholesky's serial
+    triangular chain starves the MXU)."""
     H, b = _gauge_fix(eq.H, eq.b, eq.free3)
     lam = jnp.asarray(damping, H.dtype)
     H = H + lam * jnp.eye(H.shape[0], dtype=H.dtype) * eq.free3[:, None]
-    if _use_cholesky():
+    if chol or _use_cholesky():
         L = jax.scipy.linalg.cho_factor(H, lower=True)
         dx = -jax.scipy.linalg.cho_solve(L, b)
     else:
@@ -154,19 +160,21 @@ def solve_normal_equations(eq: NormalEq, damping: jax.Array | float = 0.0):
 
 
 def gn_step(g: PoseGraph, edge_mask: jax.Array | None = None,
-            damping: jax.Array | float = 0.0) -> PoseGraph:
+            damping: jax.Array | float = 0.0,
+            chol: bool = False) -> PoseGraph:
     """One linearize → solve → oplus update (g2o GN iteration)."""
     eq = build_normal_equations(g, edge_mask)
-    dx = solve_normal_equations(eq, damping)
+    dx = solve_normal_equations(eq, damping, chol=chol)
     from cg_mrslam_tpu.utils import se2  # local import to avoid cycle
 
     new_poses = se2.oplus(g.poses, dx.reshape(-1, 3))
     return dataclasses.replace(g, poses=new_poses)
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@partial(jax.jit, static_argnames=("iterations", "chol"))
 def optimize(g: PoseGraph, iterations: int = 5,
-             edge_mask: jax.Array | None = None) -> PoseGraph:
+             edge_mask: jax.Array | None = None,
+             chol: bool = False) -> PoseGraph:
     """``GraphSLAM::optimize(n)`` equivalent: n Gauss–Newton iterations
     (reference ``graph_slam.cpp:561-574``).
 
@@ -182,9 +190,9 @@ def optimize(g: PoseGraph, iterations: int = 5,
     single-inverse path meets. Parity suites pass unchanged."""
     if iterations <= 0:  # no-op, matching g2o optimize(0) semantics
         return g
-    if _use_cholesky():
+    if chol or _use_cholesky():
         def body(gg, _):
-            return gn_step(gg, edge_mask), None
+            return gn_step(gg, edge_mask, chol=True), None
 
         g, _ = jax.lax.scan(body, g, None, length=iterations)
         return g
@@ -269,7 +277,8 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
                   order: jax.Array | None = None,
                   pcg_iters: int = 96,
                   chain_cg_iters: int = 48,
-                  chain_cg_tol: float = 1e-6) -> PoseGraph:
+                  chain_cg_tol: float = 1e-6,
+                  chol: bool = False) -> PoseGraph:
     """``optimize`` with a scale-appropriate backend.
 
     Static capacity picks the band; inside the chain band a runtime
@@ -290,7 +299,7 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
         return optimize_pcg(g, iterations=iterations, edge_mask=edge_mask,
                             cg_iters=pcg_iters, order=order)
     if n <= DENSE_MAX:
-        return optimize(g, iterations, edge_mask)
+        return optimize(g, iterations, edge_mask, chol=chol)
     from cg_mrslam_tpu.solver import chain as CH
     from cg_mrslam_tpu.solver.pcg import optimize_pcg
 
@@ -318,7 +327,8 @@ def marginal_covariance_auto(g: PoseGraph, query: jax.Array,
                              order: jax.Array | None = None,
                              chain_cg_iters: int = 64,
                              chain_cg_tol: float = 1e-5,
-                             pcg_cg_iters: int = 160) -> jax.Array:
+                             pcg_cg_iters: int = 160,
+                             chol: bool = False) -> jax.Array:
     """``marginal_covariance`` with a scale-appropriate backend, same
     banding as :func:`optimize_auto`: dense column solves up to
     ``DENSE_MAX`` capacity; above it, chain-preconditioned CG column
@@ -331,7 +341,7 @@ def marginal_covariance_auto(g: PoseGraph, query: jax.Array,
     of a fleet through one exchange round)."""
     n = g.poses.shape[-2]
     if n <= DENSE_MAX:
-        return marginal_covariance(g, query, edge_mask)
+        return marginal_covariance(g, query, edge_mask, chol=chol)
     from cg_mrslam_tpu.solver import chain as CH
     from cg_mrslam_tpu.solver.pcg import marginal_covariance_pcg
 
@@ -381,7 +391,8 @@ def optimize_lm(g: PoseGraph, iterations: int = 10,
 
 
 def marginal_covariance(
-    g: PoseGraph, query: jax.Array, edge_mask: jax.Array | None = None
+    g: PoseGraph, query: jax.Array, edge_mask: jax.Array | None = None,
+    chol: bool = False,
 ) -> jax.Array:
     """Marginal 3×3 covariance blocks of the queried vertices.
 
@@ -401,7 +412,7 @@ def marginal_covariance(
     H = H + 1e-6 * jnp.eye(H.shape[0], dtype=H.dtype)
     cols = (3 * query)[:, None] + jnp.arange(3)[None, :]  # [Q,3]
     n3 = H.shape[0]
-    if _use_cholesky():
+    if chol or _use_cholesky():
         L = jax.scipy.linalg.cho_factor(H, lower=True)
         rhs = jax.nn.one_hot(cols.reshape(-1), n3,
                              dtype=H.dtype).T           # [3N, 3Q]

@@ -183,14 +183,20 @@ def report() -> list:
     f = jax.jit(lambda b: pallas_score_volume(
         grid, c0, 0.025, pts, pv, b, thetas, ty, tx))
     dt = _timeit(f, bases)
-    # effective work: per (theta-chunk-slot, point) one aligned
-    # (dyp+8)x(dxp+128) tile load + 2 full-width rolls + accumulate
-    # ≈ 4 VPU element-ops per tile element; HBM traffic ≈ the padded
-    # grid streamed in once (everything else stays in VMEM)
-    tp, p, tile = 72, 1024, (32 + 8) * (128 + 128)
-    vpu_ops = tp * p * tile * 4
+    # effective work (v3 kernel): per (theta-chunk-slot, point) one
+    # aligned TIGHT [dyp, dxp+128] tile load + one dynamic lane roll +
+    # one phase-plane accumulate ≈ 3 VPU element-ops per tile element;
+    # HBM traffic ≈ the padded grid streamed in once (everything else
+    # stays in VMEM). Round-5 probes bound the scheme's own floor: with
+    # the roll removed (x1) and with constant anchors (x2) the kernel
+    # still costs ~85% / ~70% of v3 — the binding resource is the
+    # per-point dynamically-addressed VMEM tile fetch issue path, not
+    # VPU arithmetic, so of_vpu_peak understates how close this is to
+    # the achievable limit of the patch-accumulation scheme.
+    tp, p, tile = 72, 1024, 32 * (128 + 128)
+    vpu_ops = tp * p * tile * 3
     hbm_bytes = 1272 * 1664 * 4
-    rows.append(account("correlate_close (pallas)", dt,
+    rows.append(account("correlate_close (pallas v3)", dt,
                         hbm_bytes, vpu_ops, ceil, unit="vpu"))
 
     # --- hot loop #2: Hessian assembly + Cholesky (batched solve) ---

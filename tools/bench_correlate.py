@@ -71,7 +71,7 @@ def main():
         ref = np.asarray(f_xla(bases[0]))
         print(f"xla gather      : {dt*1e3:8.2f} ms", flush=True)
 
-    for name in C.VARIANTS:
+    for name in C.VARIANTS + C.PROBE_VARIANTS:
         f = jax.jit(lambda b, name=name: C.pallas_score_volume(
             grid, c0, res, pts, pv, b, thetas, ty, tx, variant=name))
         out = np.asarray(f(bases[0]))
