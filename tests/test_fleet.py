@@ -88,3 +88,61 @@ def test_fleet_round_sharded_matches_batched():
     out_sharded = fleet.fleet_round_sharded(batched, conn, CFG, mesh)
     out_ref = fleet.fleet_round(batched, conn, CFG)
     _flat_cmp(out_sharded, out_ref)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+def test_fleet_round_sharded_robot_blocks():
+    """Shard size > 1 (R=4 robots on 2 devices): the vmapped-block SPMD
+    round must produce the exact structure of the batched round — the
+    64-robot/8-device configuration (BASELINE config 5,
+    tools/run_config5.py) is this path at scale."""
+    from cg_mrslam_tpu.core import graph as G
+    from cg_mrslam_tpu.mr import mrslam as MR
+
+    cfg = Config(
+        mr=MRConfig(n_robots=4, sim_comm_range=8.0),
+        close_matcher=MatcherConfig(extent=8.0, resolution=0.1,
+                                    kernel_radius=0.2),
+        lc_matcher=MatcherConfig(extent=12.0, resolution=0.2,
+                                 kernel_radius=0.5),
+        max_vertices=32, max_edges=64, max_beams=16)
+    beams = 16
+    rng = np.random.default_rng(0)
+    states = []
+    for r in range(4):
+        ranges = np.full(beams, 4.0, np.float32)
+        st = MR.init_mr_state(cfg, beams, [3.0 * r, 0.0, 0.0], ranges,
+                              2 * np.pi * 0.75, 6.0, my_id=r)
+        slam = st.slam
+        for k in range(1, 4):
+            pose = jnp.asarray([3.0 * r + 0.5 * k, 0.0, 0.0])
+            slam = dataclasses.replace(
+                slam,
+                graph=G.add_edge(
+                    G.add_vertex(slam.graph, pose), k - 1, k,
+                    jnp.asarray([0.5, 0.0, 0.0]),
+                    np.asarray([100, 0, 0, 100, 0, 1000], np.float32),
+                    owner=r),
+                v_owner=slam.v_owner.at[k].set(r),
+                v_remote=slam.v_remote.at[k].set(k))
+        ranges_all = np.asarray(slam.scans.ranges).copy()
+        ranges_all[:4] = 4.0 + 0.2 * rng.random((4, beams))
+        smask = np.asarray(slam.scans.smask).copy()
+        smask[:4] = True
+        slam = dataclasses.replace(
+            slam, scans=dataclasses.replace(
+                slam.scans, ranges=jnp.asarray(ranges_all),
+                smask=jnp.asarray(smask)))
+        states.append(dataclasses.replace(st, slam=slam))
+
+    batched = fleet.stack_states(states)
+    conn = jnp.ones((4, 4), bool) & ~jnp.eye(4, dtype=bool)
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("robots",))
+    placed = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P("robots"))),
+        batched)
+    out_sharded = fleet.fleet_round_sharded(placed, conn, cfg, mesh)
+    out_ref = fleet.fleet_round(batched, conn, cfg)
+    _flat_cmp(out_sharded, out_ref)
