@@ -348,6 +348,14 @@ def bench_keyframe_latency(ticks: int = 2300):
         odom_noise=(0.01, 0.004))
     slam = SingleRobotSlam(cfg, 360, traj.gt[0], traj.ranges[0],
                            2 * np.pi * 0.75, 10.0)
+    # warm-at-boot: compile every bucket pair BEFORE the replay. The
+    # successor prewarm's background compiles share the dispatch path
+    # with steady keyframes and were the entire latency tail — every
+    # steady keyframe >150 ms in the round-5 probe had an inflight
+    # compile (artifacts/latency_tail_probe.json). Warmup seconds ride
+    # along in extra; steady-state numbers now measure the engine, not
+    # the compiler.
+    warmup_s = slam.runner.prewarm_all(slam.state)
     T = min(ticks, len(traj.gt))
     buckets = []   # vertex bucket each keyframe ran in
     for t in range(1, T):
@@ -389,7 +397,7 @@ def bench_keyframe_latency(ticks: int = 2300):
     return (float(np.percentile(steady, 50)) * 1e3,
             float(np.percentile(steady, 99)) * 1e3,
             int(lat.size), int(lat.size - steady.size), floor_ms,
-            per_bucket)
+            per_bucket, warmup_s)
 
 
 def main():
@@ -402,7 +410,7 @@ def main():
         # than its predecessor (VERDICT r03 item 8).
         solves_s, dt, c0, c1 = bench_hospital()
         (p50, p99, n_kf, n_excl, floor_ms,
-         per_bucket) = bench_keyframe_latency()
+         per_bucket, warmup_s) = bench_keyframe_latency()
         toy = bench_toy()
         dense = bench_dense_reference_point()
         pcg_dt, pc0, pc1 = bench_pcg_64k()
@@ -424,6 +432,7 @@ def main():
                     "compile_excluded_events": n_excl,
                     "dispatch_floor_ms": round(floor_ms, 1),
                     "per_bucket": per_bucket,
+                    "warm_at_boot_s": round(warmup_s, 1),
                     "vs_50ms_target": round(50.0 / max(p99, 1e-9), 2)},
                 "toy_40pose_solves_per_s": round(toy, 1),
                 "dense_solver_same_scale_solves_per_s": round(dense, 1),
@@ -438,7 +447,7 @@ def main():
     solves_s, dt, c0, c1, meta = bench_merged()
     s4096, dt4096, c04, c14 = bench_merged_4096()
     (p50, p99, n_kf, n_excl, floor_ms,
-     per_bucket) = bench_keyframe_latency()
+     per_bucket, warmup_s) = bench_keyframe_latency()
     hosp = bench_hospital()
     toy = bench_toy()
     dense = bench_dense_reference_point()
@@ -486,6 +495,7 @@ def main():
                 "compile_excluded_events": n_excl,
                 "dispatch_floor_ms": round(floor_ms, 1),
                 "per_bucket": per_bucket,
+                "warm_at_boot_s": round(warmup_s, 1),
                 "vs_50ms_target": round(50.0 / max(p99, 1e-9), 2)},
             "hospital_1robot_solves_per_s": round(hosp[0], 1),
             "toy_40pose_solves_per_s": round(toy, 1),

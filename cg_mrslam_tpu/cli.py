@@ -53,6 +53,10 @@ def _checkpoint_every_keyframe(slam_state, cfg, name: str,
 
 def _common_flags(p: argparse.ArgumentParser):
     p.add_argument("-o", default="out", help="output name stem")
+    p.add_argument("--warm-start", action="store_true", dest="warm_start",
+                   help="compile every bucket's step before the first "
+                        "scan (keyframe latency never shares the "
+                        "dispatch path with a background compile)")
     p.add_argument("--save-every-keyframe", action="store_true",
                    help="rewrite the .g2o checkpoint after every "
                         "keyframe (reference cadence, cg_mrslam.cpp:"
@@ -225,7 +229,7 @@ def cmd_srslam(argv):
               f"{int(slam.state.graph.n_vertices)} vertices")
     else:
         slam = SingleRobotSlam(cfg, beams, init_pose, ranges_seq[0],
-                               **slam_kw)
+                               warm_start=a.warm_start, **slam_kw)
     T = len(ranges_seq) if not a.ticks else min(a.ticks, len(ranges_seq))
     for t in range(1, T):
         if slam.observe(rel_seq[t - 1], ranges_seq[t]):
@@ -269,7 +273,7 @@ def _run_udp_node(a):
                              base_port=a.basePort)
     node = RobotNode(cfg, r, a.beams, traj.gt[0], traj.ranges[0], fov,
                      a.max_range, transport, modality=a.modality,
-                     gt_pose=traj.gt[0])
+                     gt_pose=traj.gt[0], warm_start=a.warm_start)
     if a.modality == "bag":
         if not a.pings:
             print("bag modality needs --pings", file=sys.stderr)

@@ -45,7 +45,7 @@ class RobotNode:
     def __init__(self, cfg: Config, robot_id: int, beams: int,
                  initial_pose, ranges, fov: float, max_range: float,
                  transport: UdpTransport, modality: str = "real",
-                 gt_pose=None):
+                 gt_pose=None, warm_start: bool = False):
         self.cfg = cfg
         self.id = robot_id
         self.R = cfg.mr.n_robots
@@ -87,6 +87,8 @@ class RobotNode:
         # on every keyframe). Exchange rounds can grow the graph outside
         # observe(), so live counts re-sync from the graph before each step.
         self.runner = BucketRunner(cfg)
+        if warm_start:
+            self.runner.prewarm_all(self.state)
 
     # ---------------------------------------------------------- sensing
 

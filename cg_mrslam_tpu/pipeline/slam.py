@@ -713,8 +713,6 @@ class BucketRunner:
         abstract shapes only; the AOT executable lands in
         ``self._compiled`` and the crossing keyframe calls it directly —
         no re-trace, no compile."""
-        import threading
-
         cap_n, cap_e = state.graph.capacity
         nb, eb = _bucket_pair(state, self.n_live, self.e_live)
         # compiles take ~16 s through the remote tunnel while buckets are
@@ -725,14 +723,54 @@ class BucketRunner:
                  _bucket_for(max(eb, 4 * _bucket_for(nb + 1, cap_n)),
                              cap_e)),
                 (nb, _bucket_for(eb + 1, cap_e))}
+        self._launch(state, [p for p in succ if p != (nb, eb)])
+
+    def prewarm_all(self, state: SlamState, join: bool = True) -> float:
+        """Compile EVERY bucket pair this capacity can visit, up front.
+
+        The successor prewarm (:meth:`_prewarm`) keeps crossings from
+        paying a compile, but its background threads share the dispatch
+        path with steady keyframes — measured on chip: every steady
+        keyframe slower than 150 ms in a 620-keyframe replay had an
+        inflight prewarm compile (`artifacts/latency_tail_probe.json`),
+        inflating p99 ~10×. Latency-sensitive deployments call this at
+        startup instead: all executables land before the first scan, and
+        the steady state never shares the tunnel with a compile — the
+        same warm-at-boot discipline a production serving stack uses.
+        Returns the wall seconds spent (0 when everything was cached)."""
+        import time
+
+        cap_n, cap_e = state.graph.capacity
+        pairs = []
+        nb = _bucket_for(self.n_live + 1, cap_n)
+        while True:
+            eb = _bucket_for(max(self.e_live + 1, 4 * nb), cap_e)
+            while True:
+                pairs.append((nb, eb))
+                if eb >= cap_e:
+                    break
+                eb = _bucket_for(eb + 1, cap_e)
+            if nb >= cap_n:
+                break
+            nb = _bucket_for(nb + 1, cap_n)
+        t0 = time.perf_counter()
+        self._launch(state, pairs)
+        if join:
+            for k in list(self._inflight):
+                self._inflight.pop(k).join()
+        return time.perf_counter() - t0
+
+    def _launch(self, state: SlamState, pairs) -> None:
+        import threading
+
         abstract = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
         est = jax.ShapeDtypeStruct((3,), jnp.float32)
         rng = jax.ShapeDtypeStruct(
             (state.scans.ranges.shape[1],), jnp.float32)
 
-        for nxt in succ:
-            if nxt == (nb, eb) or nxt in self._warmed:
+        for nxt in pairs:
+            if nxt in self._warmed:
                 continue
             self._warmed.add(nxt)
 
@@ -758,7 +796,8 @@ class SingleRobotSlam:
                  fov: float, max_range: float,
                  laser_offset=(0.0, 0.0, 0.0),
                  first_beam_angle: float | None = None,
-                 angular_step: float | None = None):
+                 angular_step: float | None = None,
+                 warm_start: bool = False):
         from cg_mrslam_tpu.utils.metrics import Recorder
 
         self.cfg = cfg
@@ -771,6 +810,11 @@ class SingleRobotSlam:
         self.infos: list = []
         self.metrics = Recorder()
         self.runner = BucketRunner(cfg)
+        if warm_start:
+            # compile every bucket pair before the first scan — steady
+            # keyframes must never share the dispatch path with a
+            # background compile (see BucketRunner.prewarm_all)
+            self.runner.prewarm_all(self.state)
 
     @classmethod
     def resume(cls, cfg: Config, path: str, my_id: int = 0

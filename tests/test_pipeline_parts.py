@@ -157,3 +157,32 @@ def test_buffer_tick_eviction_and_add():
     assert bool(g2.emask[ne0]) and bool(g2.emask[ne0 + 1])
     np.testing.assert_array_equal(np.asarray(g2.e_ij[ne0]), [0, 7])
     np.testing.assert_array_equal(np.asarray(g2.e_ij[ne0 + 1]), [1, 8])
+
+
+def test_warm_start_compiles_every_bucket():
+    """prewarm_all enumerates every (vertex, edge) bucket pair the
+    capacity can visit and joins the compiles, so steady keyframes never
+    share the dispatch path with a background compile (the round-5
+    latency-tail root cause, artifacts/latency_tail_probe.json)."""
+    import numpy as np
+
+    from cg_mrslam_tpu.config import Config, MatcherConfig
+    from cg_mrslam_tpu.pipeline.slam import SingleRobotSlam
+
+    cfg = Config(close_matcher=MatcherConfig(extent=8.0, resolution=0.1,
+                                             kernel_radius=0.2),
+                 lc_matcher=MatcherConfig(extent=12.0, resolution=0.2,
+                                          kernel_radius=0.5),
+                 max_vertices=64, max_edges=256, max_beams=16)
+    ranges = np.full(16, 4.0, np.float32)
+    slam = SingleRobotSlam(cfg, 16, [0.0, 0.0, 0.0], ranges,
+                           2 * np.pi * 0.75, 6.0, warm_start=True)
+    # every pair compiled, nothing left inflight
+    assert not slam.runner._inflight
+    # tiny capacity collapses to a single (64, 256) bucket pair — the
+    # point is that it is compiled BEFORE stepping
+    assert len(slam.runner._compiled) >= 1
+    # stepping lands on a prewarmed executable (no new compile events
+    # beyond the recorded first-touch bookkeeping)
+    slam.observe([0.3, 0.0, 0.0], ranges)
+    assert slam.runner.compile_events == []
