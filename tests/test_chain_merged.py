@@ -192,9 +192,18 @@ def test_real_protocol_merged_graph_chain_parity():
     assert n_foreign > 0, "exchange produced no foreign vertices"
 
     order = CH.chain_order(st.v_owner, st.v_remote, g.vmask)
-    assert bool(CH.chainable(g, loop_cap=96, order=order))
+    # round-5: the coverage-normalized pooled global match accepts far
+    # more (correct) inter-robot closures, so the loop-class count is a
+    # property of the run — size the Woodbury cap from the graph itself
+    # instead of assuming <=96 (the test's point is fast==dense when the
+    # cap admits the graph, not any particular closure density)
+    from cg_mrslam_tpu.core.graph import permute_vertices
+
+    _, is_loop = CH.chain_masks(permute_vertices(g, order))
+    cap = max(96, int(-(-int(np.sum(np.asarray(is_loop))) // 32) * 32))
+    assert bool(CH.chainable(g, loop_cap=cap, order=order)), cap
     dense = gn.optimize(g, iterations=5)
-    fast = CH.optimize_chain(g, iterations=5, loop_cap=96, order=order)
+    fast = CH.optimize_chain(g, iterations=5, loop_cap=cap, order=order)
     cd, cf = float(chi2(dense)), float(chi2(fast))
     assert np.isfinite(cf)
     assert abs(cf - cd) <= 0.01 * max(cd, 1e-3), (cd, cf)
