@@ -37,13 +37,19 @@ def main():
                          "and CPU nodes' simulated clocks aligned; the "
                          "first run measured 166 s vs 367 s free-run "
                          "skew, which cut the condensed exchange short)")
-    ap.add_argument("--out", default=str(ROOT / "artifacts/mr2_chip_run.json"))
+    ap.add_argument("--robots", type=int, default=2,
+                    help="process count; robot 0 rides the chip, the "
+                         "rest run on CPU (the reference's experiments "
+                         "use 2- and 4-robot deployments, README.md)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = str(ROOT / f"artifacts/mr{args.robots}_chip_run.json")
 
-    workdir = Path("/tmp/mr2_chip")
+    workdir = Path(f"/tmp/mr{args.robots}_chip")
     workdir.mkdir(exist_ok=True)
     common = [
-        "--nRobots", "2", "--modality", "real",
+        "--nRobots", str(args.robots), "--modality", "real",
         "--ticks", str(args.ticks),
         "--max-vertices", str(args.max_vertices),
         "--max-edges", str(4 * args.max_vertices),
@@ -52,10 +58,10 @@ def main():
     ]
     procs = []
     t0 = time.time()
-    for r in range(2):
+    for r in range(args.robots):
         env = dict(os.environ)
         env["PYTHONPATH"] = f"{ROOT}:{env.get('PYTHONPATH', '')}"
-        if r == 1 and not args.both_tpu:
+        if r >= 1 and not args.both_tpu:
             env["JAX_PLATFORMS"] = "cpu"
             env["PALLAS_AXON_POOL_IPS"] = ""
         cmd = [sys.executable, "-m", "cg_mrslam_tpu", "cg_mrslam",
@@ -68,15 +74,15 @@ def main():
     wall = time.time() - t0
 
     stats = []
-    for r in range(2):
+    for r in range(args.robots):
         p = workdir / f"r{r}.json"
         stats.append(json.loads(p.read_text()) if p.exists()
                      else {"error": f"robot {r} wrote no stats",
                            "rc": rcs[r]})
     out = {
-        "what": ("2-process cg_mrslam over localhost UDP; robot 0 on "
-                 "the TPU chip" + ("" if args.both_tpu
-                                   else ", robot 1 on CPU")),
+        "what": (f"{args.robots}-process cg_mrslam over localhost UDP; "
+                 "robot 0 on the TPU chip"
+                 + ("" if args.both_tpu else ", the rest on CPU")),
         "ticks": args.ticks, "wall_s": round(wall, 1), "rcs": rcs,
         "robots": stats,
     }
