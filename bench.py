@@ -496,7 +496,10 @@ def main():
                 "dispatch_floor_ms": round(floor_ms, 1),
                 "per_bucket": per_bucket,
                 "warm_at_boot_s": round(warmup_s, 1),
-                "vs_50ms_target": round(50.0 / max(p99, 1e-9), 2)},
+                "vs_50ms_target": round(50.0 / max(p99, 1e-9), 2),
+                "vs_50ms_target_bucket256": round(
+                    50.0 / max(per_bucket.get("256", {}).get("p99", p99),
+                               1e-9), 2)},
             "hospital_1robot_solves_per_s": round(hosp[0], 1),
             "toy_40pose_solves_per_s": round(toy, 1),
             "dense_solver_same_scale_solves_per_s": round(dense, 1),

@@ -265,10 +265,49 @@ def _make_kernel_x2(dyp: int, dxp: int, n_points: int):
     return kernel
 
 
+def _make_kernel_v5(dyp: int, dxp: int, n_points: int):
+    """Loop-carried REGISTER accumulator: v3's plane accumulate is a
+    VMEM read-modify-write (~24 reg-ops per point — load plane, add,
+    store), which the x2 probe exposed as the dominant static cost. Here
+    the accumulator rides the ``fori_loop`` carry as a VALUE, so the
+    accumulate is a pure register add; the sublane phase returns to a
+    dynamic roll (measured cheap — 3 select steps over an 8-range)."""
+    dy2, dx2 = dyp + 8, dxp + 128
+    assert n_points % _UNROLL == 0
+
+    def kernel(iy0_ref, ix0_ref, keep_ref, count_ref, grid_ref, out_ref,
+               _scratch):
+        for tt in range(_TCHUNK):
+            def body(i, accs, tt=tt):
+                a0, a1 = accs
+                for u in range(_UNROLL):
+                    p = i * _UNROLL + u
+                    y0 = iy0_ref[tt, p]
+                    x0 = ix0_ref[tt, p]
+                    ya = (y0 // 8) * 8
+                    xa = (x0 // 128) * 128
+                    tile = grid_ref[pl.ds(ya, dy2), pl.ds(xa, dx2)]
+                    tile = pltpu.roll(tile, dy2 - (y0 - ya), 0)
+                    tile = pltpu.roll(tile, dx2 - (x0 - xa), 1)
+                    if u % 2 == 0:
+                        a0 = a0 + tile
+                    else:
+                        a1 = a1 + tile
+                return (a0, a1)
+
+            z = jnp.zeros((dy2, dx2), jnp.float32)
+            a0, a1 = jax.lax.fori_loop(0, n_points // _UNROLL, body,
+                                       (z, z))
+            out_ref[tt] = (a0 + a1)[:dyp, :dxp] / count_ref[tt, 0]
+
+    return kernel
+
+
 _KERNELS = {"v0": _make_kernel, "v1": _make_kernel_v1,
             "v2": _make_kernel_v2, "v3": _make_kernel_v3,
+            "v5": _make_kernel_v5,
             "x1": _make_kernel_x1, "x2": _make_kernel_x2}
-VARIANTS = ("v0", "v1", "v2", "v3")
+VARIANTS = ("v0", "v1", "v2", "v3", "v5")
 PROBE_VARIANTS = ("x1", "x2")  # timing probes — intentionally wrong
 
 
