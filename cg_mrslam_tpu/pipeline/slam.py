@@ -462,7 +462,8 @@ def keyframe_step(state: SlamState, est: jax.Array, ranges: jax.Array,
         chi2=chi2(g), n_edges=g.n_edges,
         regions_dropped=regions_dropped,
         solver_backend=gn.auto_backend(g, order=order,
-                                       loop_cap=cfg.slam.loop_cap))
+                                       loop_cap=cfg.slam.loop_cap,
+                                       chol=True))
     return state, info_out
 
 

@@ -243,12 +243,24 @@ def optimize(g: PoseGraph, iterations: int = 5,
 # at 1024 — the chain/PCG band is now the faster AND numerically safer
 # choice from 512 up.
 DENSE_MAX = 256
+# The batch-1 Cholesky band reaches further: a single [1536^2]
+# cho_factor+solve is ~11 ms device for GN x5 where the chain band costs
+# ~14 and the SPD-inverse dense path 141 (all measured on chip at
+# capacity 512) — so the LIVE path (chol=True) stays dense one bucket
+# longer. At 1024 the factorization's serial panel chain loses to the
+# chain band (66 vs 47 ms) and both bands agree chain is right.
+DENSE_MAX_CHOL = 512
 PCG_MIN = 4096
+
+
+def _dense_max(chol: bool) -> int:
+    return DENSE_MAX_CHOL if chol else DENSE_MAX
 
 
 def auto_backend(g: PoseGraph, edge_mask: jax.Array | None = None,
                  loop_cap: int = 64,
-                 order: jax.Array | None = None) -> jax.Array:
+                 order: jax.Array | None = None,
+                 chol: bool = False) -> jax.Array:
     """Which backend :func:`optimize_auto` takes on this graph —
     ``0`` dense, ``1`` chain+Woodbury, ``2`` PCG (int32, traceable).
     Exposed so callers (``pipeline.slam.keyframe_step`` → ``StepInfo``)
@@ -257,7 +269,7 @@ def auto_backend(g: PoseGraph, edge_mask: jax.Array | None = None,
     n = g.poses.shape[-2]
     if n > PCG_MIN:
         return jnp.int32(2)
-    if n <= DENSE_MAX:
+    if n <= _dense_max(chol):
         return jnp.int32(0)
     from cg_mrslam_tpu.solver import chain as CH
 
@@ -298,7 +310,7 @@ def optimize_auto(g: PoseGraph, iterations: int = 5,
 
         return optimize_pcg(g, iterations=iterations, edge_mask=edge_mask,
                             cg_iters=pcg_iters, order=order)
-    if n <= DENSE_MAX:
+    if n <= _dense_max(chol):
         return optimize(g, iterations, edge_mask, chol=chol)
     from cg_mrslam_tpu.solver import chain as CH
     from cg_mrslam_tpu.solver.pcg import optimize_pcg
@@ -340,7 +352,7 @@ def marginal_covariance_auto(g: PoseGraph, query: jax.Array,
     matrices from ``mr.condensed.condense`` once poisoned both robots
     of a fleet through one exchange round)."""
     n = g.poses.shape[-2]
-    if n <= DENSE_MAX:
+    if n <= _dense_max(chol):
         return marginal_covariance(g, query, edge_mask, chol=chol)
     from cg_mrslam_tpu.solver import chain as CH
     from cg_mrslam_tpu.solver.pcg import marginal_covariance_pcg
