@@ -250,6 +250,10 @@ DENSE_MAX = 256
 # longer. At 1024 the factorization's serial panel chain loses to the
 # chain band (66 vs 47 ms) and both bands agree chain is right.
 DENSE_MAX_CHOL = 512
+# (A split band — factorized marginals up to 1024 while the optimizer
+# stays chain — was measured on chip and does NOT pay: bucket-1024 p50
+# 94.9 vs 96.6 ms, within run noise. The gate is not the 1024-bucket
+# bottleneck; both operations share DENSE_MAX_CHOL.)
 PCG_MIN = 4096
 
 
