@@ -24,10 +24,28 @@ hardware:
 Semantics match ``score_volume`` exactly (same consecutive-duplicate-cell
 dedup, same out-of-grid → 0 contribution with full-count normalization —
 guaranteed by zero margins at least one patch wide on every side, so any
-clamped anchor reads only padding). A parity test runs this kernel in
-interpret mode on CPU against the XLA path. Only step-1 (finest-level)
-lattices use it — coarse strided levels of the hierarchical search stay
-on the XLA path where the gather volume is small.
+clamped anchor reads only padding). A parity test runs every variant in
+interpret mode on CPU against the XLA path.
+
+Variant history (all parity-exact; ``tools/bench_correlate.py`` times
+them on chip — close-match volume, 65θ×25²×1024 pts on a 1200² grid):
+
+* ``v0`` (round 3): per-point ``pl.when`` guard + aligned tile fetch +
+  two dynamic rolls — ~11.5 ms.
+* ``v1``: branchless (skips routed to the zero corner XLA-side) +
+  8-wide unroll into independent accumulators — ~6.5 ms.
+* ``v2``: the dynamic sublane roll becomes 8 phase-plane accumulators
+  combined with STATIC rolls once per θ — ~6.2 ms.
+* ``v3`` (default): anchors/phases precomputed XLA-side into SMEM
+  (``pl.multiple_of`` carries the alignment proof), tile shrunk a full
+  sublane quantum (phase planes never read past row ``dy+7``) — ~5.6 ms.
+* ``v5`` (kept as a measured negative): accumulator as a ``fori_loop``
+  register carry instead of VMEM scratch — the two dynamic rolls it
+  reintroduces cost more than the saved read-modify-write (~6.2 ms).
+* ``x1``/``x2`` timing probes (intentionally wrong results) bound the
+  scheme's floor: no-roll ~4.7 ms, constant-anchor ~4.2 ms — the
+  binding resource is the per-point dynamically-addressed VMEM fetch
+  issue path, not VPU arithmetic (see PERF.md).
 """
 
 from __future__ import annotations
