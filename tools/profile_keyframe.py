@@ -61,6 +61,13 @@ def main():
                          "chain-band bucket")
     ap.add_argument("--loops", type=int, default=2)
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument("--skip-solver", action="store_true",
+                    help="skip the solver/marginal stages — jitting the "
+                         "chain-band optimize_auto/marginal auto STANDALONE "
+                         "at capacity 1024 aborts the XLA compile helper "
+                         "(scatter_emitter CHECK, see verify skill); the "
+                         "fused step compiles the same code fine, so the "
+                         "solver share = fused - other stages")
     args = ap.parse_args()
 
     from cg_mrslam_tpu.config import Config, MatcherConfig, SlamConfig
@@ -153,9 +160,10 @@ def main():
                 ) + a[1:]
 
     # 3. pre-optimize (1 GN, auto band like the fused step)
-    results["pre_optimize_gn1"] = timed(
-        jax.jit(lambda g: gn.optimize_auto(g, 1, order=order)), g1,
-        perturb=pg)
+    if not args.skip_solver:
+        results["pre_optimize_gn1"] = timed(
+            jax.jit(lambda g: gn.optimize_auto(g, 1, order=order)), g1,
+            perturb=pg)
 
     # 4. candidates: bounded distances + sets + components + regions
     def cands(g, c):
@@ -174,10 +182,12 @@ def main():
 
     # 5. covariance gate (banded marginals — dense spd_inverse inside
     # DENSE_MAX, chain/PCG CG column solves above)
-    results["covariance_gate"] = timed(
-        jax.jit(lambda g, c: SL._covariance_gate(
-            g, c, regions.rep_vertex, regions.valid, cfg, order=order)),
-        g1, cur, perturb=pg)
+    if not args.skip_solver:
+        results["covariance_gate"] = timed(
+            jax.jit(lambda g, c: SL._covariance_gate(
+                g, c, regions.rep_vertex, regions.valid, cfg,
+                order=order)),
+            g1, cur, perturb=pg)
 
     # 6. region matching (max_regions LC grids + searches)
     cand_mask = jnp.ones((g1.poses.shape[0],), bool)
@@ -201,9 +211,10 @@ def main():
     results["vote"] = timed(jax.jit(vote), st1, perturb=perturb_state)
 
     # 8. optimize(5) (auto band)
-    results["optimize_gn5"] = timed(
-        jax.jit(lambda g: gn.optimize_auto(g, 5, order=order)), g1,
-        perturb=pg)
+    if not args.skip_solver:
+        results["optimize_gn5"] = timed(
+            jax.jit(lambda g: gn.optimize_auto(g, 5, order=order)), g1,
+            perturb=pg)
 
     floor = results["dispatch_floor"]
     print(f"\nbucket (nb={nb}, eb={eb});  all times = median wall ms "
